@@ -1,0 +1,181 @@
+"""Pure-stdlib image codecs + perceptual hashing for the images plane.
+
+The container has no PIL/opencv, so:
+  * ``png``  — REAL minimal PNG (8-bit RGB, filter 0) via zlib + CRC chunks.
+  * ``bmp``  — REAL uncompressed 24-bit BITMAPINFOHEADER BMP.
+  * ``jpg``  — DETERMINISTIC FAKE of a lossy codec (clearly marked): pixels
+    are quantized to multiples of Q=4 (max per-channel error 2 → PSNR ≈ 47 dB,
+    satisfying the ≥40 dB invariant) and stored zlib-compressed under a
+    private magic header. Real JPEG bytes raise NotImplementedError. The
+    Spark-side plumbing (binary column → pandas UDF decode → invariant
+    check) is real and tested; only the entropy-coding math is faked.
+
+All functions operate on numpy uint8 arrays of shape (h, w, 3) and are fully
+deterministic — required so that the two-parallelism benchmark is also a
+correctness check (SURVEY.md §7 "Determinism").
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+FAKE_JPG_MAGIC = b"FJPG"  # deterministic fake lossy container (see module doc)
+JPG_QUANT = 4
+
+
+# ---------------------------------------------------------------- PNG (real)
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise NotImplementedError("only 8-bit RGB PNGs supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = []
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise NotImplementedError("only filter-0 scanlines supported")
+        rows.append(np.frombuffer(row[1:], dtype=np.uint8))
+    return np.stack(rows).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------- BMP (real)
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up, BGR
+        body += px[y, :, ::-1].tobytes() + pad
+    return header + info + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    if bpp != 24:
+        raise NotImplementedError("only 24-bit BMPs supported")
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(data[offset + i * row_size :][: w * 3], dtype=np.uint8)
+        out[h - 1 - i] = row.reshape(w, 3)[:, ::-1]
+    return out
+
+
+# --------------------------------------- "jpg" (DETERMINISTIC FAKE — STUB)
+
+def encode_jpg(px: np.ndarray) -> bytes:
+    """STUB lossy codec: quantize then zlib. NOT a real JPEG (see module doc)."""
+    h, w, _ = px.shape
+    quant = (px.astype(np.int32) // JPG_QUANT * JPG_QUANT + JPG_QUANT // 2).clip(0, 255)
+    return (
+        FAKE_JPG_MAGIC
+        + struct.pack(">II", w, h)
+        + zlib.compress(quant.astype(np.uint8).tobytes(), 6)
+    )
+
+
+def decode_jpg(data: bytes) -> np.ndarray:
+    if data[:4] != FAKE_JPG_MAGIC:
+        raise NotImplementedError(
+            "real JPEG decoding requires an image library absent from this "
+            "container; only the deterministic fake container is supported"
+        )
+    w, h = struct.unpack(">II", data[4:12])
+    raw = zlib.decompress(data[12:])
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+_ENCODERS = {"png": encode_png, "bmp": encode_bmp, "jpg": encode_jpg}
+_DECODERS = {"png": decode_png, "bmp": decode_bmp, "jpg": decode_jpg}
+LOSSY_FMTS = {"jpg"}
+
+
+def encode_image(px: np.ndarray, fmt: str) -> bytes:
+    return _ENCODERS[fmt](px)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    return _DECODERS[fmt](data)
+
+
+# ------------------------------------------------------------ metrics / hash
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+def average_phash(px: np.ndarray) -> int:
+    """64-bit average-hash: grayscale → 8×8 block means → bit = mean>global.
+
+    Deterministic perceptual hash (the reference stores none; phash is part
+    of the BASELINE input_hint schema). Returned as SIGNED int64 so it fits
+    a Spark LongType column.
+    """
+    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # resample to 8x8 by block-averaging with index binning (any h,w ≥ 1)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    blocks = np.array(
+        [[gray[ys[i]:ye[i], xs[j]:xe[j]].mean() for j in range(8)] for i in range(8)]
+    )
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val

@@ -1,0 +1,112 @@
+"""Deduplication family over text tables (`documents`): exact, n-gram
+Jaccard, MinHash-LSH, SimHash — the training-data-pipeline counterparts of
+the caption engines, each shaped for a DuckDB value-oracle where the math is
+engine-portable.
+
+Exact dedup uses sha256 (hex string — both engines agree). Jaccard and the
+oracle-checked MinHash variant use the cross-engine polynomial hash; the
+production MinHash path (operators/minhash_lsh.py) keeps xxhash64 for speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dupers_spark.functions import hashing as H
+from dupers_spark.operators import minhash_lsh as ml
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_size: int = 2) -> DataFrame:
+    """(digest, cnt, exemplar) for texts appearing more than once."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("cnt"), F.min("id").alias("exemplar"))
+        .filter(F.col("cnt") >= min_size)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact word-k-gram Jaccard pairs via shingle inverted index.
+
+    explode distinct shingles → self-join on shingle → common counts →
+    |A∩B| / (|A| + |B| − |A∩B|) ≥ τ. One shuffle on shingle, one on the
+    pair key; shingle frequency skew is bounded because shingles are
+    *distinct per doc* and stopword-only shingles can be capped upstream.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(H.word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_rows_poly(df: DataFrame, num_perm: int = 16, k: int = 3, seed: int = 7,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Oracle-checkable MinHash: (id, perm, minhash) rows where the shingle
+    hash is the cross-engine polynomial hash, so DuckDB reproduces the exact
+    VALUES. Production banding uses the xxhash64 path instead.
+    """
+    a, b = H.perm_coeffs(num_perm, seed)
+    hashed = F.transform(
+        H.word_shingles(F.col(text_col), k), lambda s: H.poly_hash(s)
+    )
+    perms = F.array(*[
+        F.struct(F.lit(i).alias("perm"), F.lit(int(ai)).alias("a"), F.lit(int(bi)).alias("b"))
+        for i, (ai, bi) in enumerate(zip(a, b))
+    ])
+    sig = F.transform(
+        perms,
+        lambda p: F.struct(
+            p["perm"].alias("perm"),
+            F.array_min(
+                F.transform(hashed, lambda x: F.pmod(p["a"] * x + p["b"], F.lit(H.P31)))
+            ).alias("minhash"),
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(sig).alias("s")).select(
+        "id", F.col("s.perm").alias("perm"), F.col("s.minhash").alias("minhash")
+    )
+
+
+def text_near_dup_components(df: DataFrame, cfg: ml.LSHConfig | None = None,
+                             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Full near-dup clustering of a text table (production xxhash64 path)."""
+    from dupers_spark.operators.components import connected_components
+
+    cfg = cfg or ml.LSHConfig()
+    edges, _verified, _dropped = ml.near_dup_edges(
+        df.select(F.col(id_col).alias("image_id"), F.col(text_col).alias("caption")),
+        cfg,
+    )
+    return connected_components(edges)
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", seed: int = 0) -> DataFrame:
+    """(id, simhash) over whitespace tokens — xxhash64 path (pytest-gated)."""
+    from dupers_spark.operators.textstats import tokens
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        H.simhash64(tokens(F.col(text_col)), seed).alias("simhash"),
+    )

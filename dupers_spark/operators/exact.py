@@ -1,0 +1,165 @@
+"""Exact duplicate engine — dupers' core semantics, Spark-first.
+
+Reference behavior reimplemented (citations into /root/reference):
+  * content digest = SHA-256 of the raw bytes        (pkg/dupe/parse/parse.go:217-231)
+  * zero-byte payloads are never indexed             (pkg/dupe/dupe.go:142-144)
+  * a row is never its own duplicate                 (pkg/dupe/dupe.go:1059-1061)
+  * one exemplar per digest, map-insert semantics
+    → we use deterministic min(image_id)             (pkg/dupe/parse/parse.go:31,113-115)
+  * incremental re-index skips known ids             (pkg/dupe/dupe.go:941-966)
+  * clean drops rows whose source vanished           (pkg/database/bucket/bucket.go:53-94)
+  * dupe check = build/probe hash join on digest     (pkg/dupe/dupe.go:919-931,
+                                                      pkg/dupe/parse/parse.go:102-117)
+
+Every operator is a pure DataFrame transform: Catalyst prunes columns and
+pushes the zero-byte filter into the parquet scan; the digest join is a
+shuffle/broadcast hash join picked by AQE. Nothing here crosses into Python.
+
+Scale notes (100 TB / 10^12 rows):
+  * ``signatures`` carries only (image_id, bucket, sha256) — 32 B digests,
+    never the image bytes, so the probe join shuffles ~50 B/row.
+  * digest keys are uniformly distributed (SHA-256) → no skew; the join
+    needs no salting. AQE coalesces post-shuffle partitions.
+  * probe-side dedup checks broadcast when the probe set is small
+    (the common "dupe <source> <buckets...>" shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def signatures(images: DataFrame, id_col: str = "image_id", payload_col: str = "bytes",
+               bucket_col: str | None = "bucket") -> DataFrame:
+    """images → (image_id[, bucket], sha256 hex) signature table.
+
+    Drops zero-byte payloads (dupe.go:142-144). ``sha2`` runs JVM-side in
+    whole-stage codegen; no Python boundary.
+    """
+    cols = [F.col(id_col).alias("image_id")]
+    if bucket_col and bucket_col in images.columns:
+        cols.append(F.col(bucket_col).alias("bucket"))
+    cols.append(F.sha2(F.col(payload_col), 256).alias("sha256"))
+    return images.filter(F.length(F.col(payload_col)) > 0).select(*cols)
+
+
+def dup_pairs(sigs: DataFrame) -> DataFrame:
+    """All exact-duplicate pairs (a < b) — self equi-join on digest.
+
+    Canonical ordering gives each unordered pair once and implements
+    self-exclusion (dupe.go:1059-1061) since a < b excludes a == b.
+    """
+    left = sigs.select(F.col("image_id").alias("a"), "sha256")
+    right = sigs.select(F.col("image_id").alias("b"), "sha256")
+    return (
+        left.join(right, "sha256")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sha256")
+    )
+
+
+def dup_groups(sigs: DataFrame, min_size: int = 2) -> DataFrame:
+    """Digest buckets with >1 member: (sha256, cnt, exemplar, members).
+
+    The reference surfaces these implicitly during the walk
+    (dupe.go:827-838); here it is one map-side-combinable groupBy.
+    """
+    return (
+        sigs.groupBy("sha256")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("image_id").alias("exemplar"),
+            F.sort_array(F.collect_list("image_id")).alias("members"),
+        )
+        .filter(F.col("cnt") >= min_size)
+    )
+
+
+def first_exemplar(sigs: DataFrame) -> DataFrame:
+    """One representative per digest — dupers' Checksums map keeps a single
+    path per digest (parse.go:31,113-115; docs/README.md:198-201). The map's
+    insert order is walk-dependent; we make it deterministic with min().
+    """
+    return sigs.groupBy("sha256").agg(F.min("image_id").alias("exemplar"))
+
+
+def probe_matches(probe: DataFrame, index: DataFrame) -> DataFrame:
+    """The flagship `dupers dupe <source> [buckets...]` check (J1/J2).
+
+    probe, index: signature-shaped DataFrames. Returns
+    (image_id, sha256, exemplar[, bucket]) — one row per probe row whose
+    digest exists in the index, matched to the index's single exemplar,
+    excluding self-matches (dupe.go:1059-1061).
+    """
+    exemplars = first_exemplar(index)
+    bucket_side = (
+        index.groupBy("sha256").agg(F.min("bucket").alias("bucket"))
+        if "bucket" in index.columns
+        else None
+    )
+    out = (
+        probe.select("image_id", "sha256")
+        .join(exemplars, "sha256")
+        .filter(F.col("image_id") != F.col("exemplar"))
+    )
+    if bucket_side is not None:
+        out = out.join(bucket_side, "sha256")
+    return out
+
+
+def incremental_new(incoming: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Rows not yet indexed — the `up` re-scan only hashes NEW files
+    (walkCompare's ErrPathExist skip, dupe.go:941-966). Left-anti join on id.
+    """
+    return incoming.join(sigs.select("image_id"), "image_id", "left_anti")
+
+
+def merge_signatures(existing: DataFrame, incoming_sigs: DataFrame) -> DataFrame:
+    """Upsert semantics of the KV put (dupe.go:145-149): incoming wins on id.
+
+    Expressed as anti-join + union; on Iceberg this is MERGE INTO.
+    """
+    keep = existing.join(incoming_sigs.select("image_id"), "image_id", "left_anti")
+    return keep.unionByName(incoming_sigs, allowMissingColumns=True)
+
+
+def clean(sigs: DataFrame, live_ids: DataFrame) -> DataFrame:
+    """GC: keep only signature rows whose source row still exists
+    (database.go:143-277 / bucket.go:53-94) — left-semi join.
+    """
+    return sigs.join(live_ids.select("image_id"), "image_id", "left_semi")
+
+
+def delete_candidates(incoming: DataFrame, index: DataFrame) -> DataFrame:
+    """`dupe -delete`: source rows whose digest already exists in the index
+    (dupe.go:275-305) — left-semi on digest, excluding rows that ARE the
+    indexed exemplar.
+    """
+    exemplars = first_exemplar(index)
+    return (
+        incoming.select("image_id", "sha256")
+        .join(exemplars, "sha256")
+        .filter(F.col("image_id") != F.col("exemplar"))
+        .select("image_id", "sha256")
+    )
+
+
+def ls_listing(sigs: DataFrame) -> DataFrame:
+    """`dupers ls`: sorted (hex digest, id) dump
+    (pkg/cmd/task/bucket/bucket.go:138-175). sha256 is already hex here.
+    """
+    return sigs.select("sha256", "image_id").orderBy("image_id")
+
+
+def bucket_info(sigs: DataFrame) -> DataFrame:
+    """`dupers db` info: per-bucket item count + approximate stored size
+    (database.go:606-666): Σ(len(key) + 32-byte digest).
+    """
+    return (
+        sigs.groupBy("bucket")
+        .agg(
+            F.count("*").alias("items"),
+            F.sum(F.length("image_id") + F.lit(32)).alias("kv_bytes"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,150 @@
+"""Substring search engine — dupers' `search` semantics + suffix-array index.
+
+Baseline variants reproduce pkg/database/database.go:374-447 and
+pkg/cmd/task/search/search.go:47-78 exactly:
+
+  contains            bytes.Contains(key, term)            case-sensitive
+  contains_nocase     lowercase both sides
+  basename            filepath.Base(key) before contains
+  basename_nocase     both
+  exact / exact_nocase  (-exact flag) whole-string equality
+
+All are JVM predicates; Catalyst pushes the scan-side projection down. A
+single query is one full scan — the suffix-array index below amortizes
+repeated queries (north_rule upgrade, SURVEY §3.2).
+
+Suffix-array design (distributed, shard-per-partition):
+  * docs are hash-partitioned; each partition builds ONE suffix array over
+    the concatenation of its docs (numpy argsort in applyInPandas — the
+    only Python stage, Arrow-batched, justified: no SQL primitive sorts
+    suffixes).
+  * the index is a DataFrame (shard_id, concat, sa, doc_ids, offsets) —
+    persisted as a parquet/Iceberg stage table, resumable.
+  * a query fans out to all shards (classic search-index shard model),
+    binary-searches the SA per shard (O(|term| · log n) per shard), unions
+    matching doc ids. A global monolithic SA would serialize the build; the
+    shard model keeps build AND query embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+SEP = "\x00"  # cannot occur in captions
+
+
+# ----------------------------------------------------------- scan baselines
+
+def search_contains(df: DataFrame, term: str, col: str = "caption",
+                    case_sensitive: bool = True) -> DataFrame:
+    """database.Compare / CompareNoCase (database.go:397-447)."""
+    c = F.col(col)
+    t = F.lit(term)
+    pred = c.contains(t) if case_sensitive else F.lower(c).contains(F.lower(t))
+    return df.filter(pred)
+
+
+def search_basename(df: DataFrame, term: str, col: str = "image_id",
+                    case_sensitive: bool = True) -> DataFrame:
+    """CompareBase: match on the path basename only (database.go:426-431)."""
+    base = F.element_at(F.split(F.col(col), "/"), -1)
+    t = F.lit(term)
+    pred = base.contains(t) if case_sensitive else F.lower(base).contains(F.lower(t))
+    return df.filter(pred)
+
+
+def search_exact(df: DataFrame, term: str, col: str = "caption",
+                 case_sensitive: bool = True) -> DataFrame:
+    """-exact flag: whole-string equality."""
+    c = F.col(col)
+    pred = (c == term) if case_sensitive else (F.lower(c) == term.lower())
+    return df.filter(pred)
+
+
+# ------------------------------------------------------- suffix-array index
+
+SA_SCHEMA = T.StructType([
+    T.StructField("shard_id", T.IntegerType(), False),
+    T.StructField("concat", T.StringType(), False),
+    T.StructField("sa", T.ArrayType(T.IntegerType()), False),
+    T.StructField("doc_ids", T.ArrayType(T.StringType()), False),
+    T.StructField("offsets", T.ArrayType(T.IntegerType()), False),
+])
+
+
+def build_suffix_index(df: DataFrame, id_col: str = "image_id",
+                       text_col: str = "caption", shards: int | None = None) -> DataFrame:
+    """One suffix array per shard over concatenated docs.
+
+    applyInPandas-per-shard: numpy lexicographic suffix sort. At 100 TB the
+    per-shard text must be bounded — shards = total_text / ~256 MB; the
+    build is one shuffle + embarrassingly parallel sorts.
+    """
+    if shards is None:
+        shards = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+
+    sharded = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int").alias("shard_id"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")  # deterministic across parallelism
+        texts = pdf["text"].fillna("").tolist()
+        ids = pdf["doc_id"].astype(str).tolist()
+        offsets, pos = [], 0
+        for t in texts:
+            offsets.append(pos)
+            pos += len(t) + 1
+        concat = SEP.join(texts) + SEP
+        # suffix sort: python sorted on memoryview slices is O(n log n · L̄);
+        # fine for caption-scale shards. numpy argsort over fixed-width
+        # prefixes would be the big-shard path.
+        sa = sorted(range(len(concat)), key=lambda i: concat[i:])
+        return pd.DataFrame([{
+            "shard_id": int(pdf["shard_id"].iloc[0]),
+            "concat": concat,
+            "sa": np.array(sa, dtype=np.int32),
+            "doc_ids": ids,
+            "offsets": np.array(offsets, dtype=np.int32),
+        }])
+
+    return sharded.groupBy("shard_id").applyInPandas(build, schema=SA_SCHEMA)
+
+
+def query_suffix_index(index: DataFrame, term: str) -> DataFrame:
+    """→ DataFrame(doc_id) of docs containing ``term`` — SA binary search
+    per shard via mapInPandas (no full text scan).
+    """
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hits: set[str] = set()
+            for _, row in pdf.iterrows():
+                concat, sa = row["concat"], row["sa"]
+                offsets, doc_ids = list(row["offsets"]), list(row["doc_ids"])
+                lo, hi = 0, len(sa)
+                # lower bound of term in suffix order
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if concat[sa[mid]: sa[mid] + len(term)] < term:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                starts = []
+                i = lo
+                while i < len(sa) and concat[sa[i]: sa[i] + len(term)] == term:
+                    starts.append(int(sa[i]))
+                    i += 1
+                if starts:
+                    import bisect
+                    for s in starts:
+                        j = bisect.bisect_right(offsets, s) - 1
+                        hits.add(doc_ids[j])
+            yield pd.DataFrame({"doc_id": sorted(hits)})
+
+    return index.mapInPandas(probe, schema="doc_id string")

@@ -1,0 +1,79 @@
+"""SimHash / perceptual-hash near-dup engine with Hamming-ball probing.
+
+Per the north_rule, the perceptual side of dedup operates on a 64-bit
+signature seeded from ``phash`` (the schema's perceptual hash of decoded
+pixels). Two images are perceptual near-dups when
+``bit_count(sig_a XOR sig_b) <= radius``.
+
+Candidate generation uses the pigeonhole multi-block index
+(functions/hashing.py:hamming_blocks): split 64 bits into radius+1 blocks;
+any two keys within the radius agree exactly on ≥1 block, so an equi-join
+on (blk, val) has perfect recall — no masked-variant explosion
+(C(64, d) keys) and no O(n²) scan.
+
+Scale notes: the block join shuffles (radius+1)·n rows of ~20 B; block
+values are near-uniform for hash-like keys, so skew only arises from true
+duplicate floods — the same collapse-first defense as the LSH engine
+applies (collapse identical sigs before the join).
+
+Reference parity: generalizes the digest-equality probe
+(pkg/dupe/dupe.go:919-931) from Hamming distance 0 to distance ≤ d.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dupers_spark.functions import hashing as H
+
+
+def collapse_exact_sig(df: DataFrame, id_col: str = "image_id",
+                       sig_col: str = "phash") -> tuple[DataFrame, DataFrame]:
+    """Identical 64-bit signatures collapse to one rep + star edges."""
+    grouped = df.groupBy(sig_col).agg(
+        F.min(id_col).alias("rep_id"), F.collect_set(id_col).alias("members")
+    )
+    reps = grouped.select("rep_id", F.col(sig_col).alias("sig"))
+    star = (
+        grouped.select("rep_id", F.explode("members").alias("member"))
+        .filter(F.col("member") != F.col("rep_id"))
+        .select(F.col("member").alias("a"), F.col("rep_id").alias("b"))
+    )
+    return reps, star
+
+
+def hamming_candidates(reps: DataFrame, radius: int = 3) -> DataFrame:
+    """(a, b) rep pairs sharing ≥1 of the radius+1 key blocks, a < b."""
+    blocks = reps.select(
+        "rep_id", "sig", F.explode(H.hamming_blocks(F.col("sig"), radius)).alias("b")
+    ).select("rep_id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    left = blocks.select("blk", "val", F.col("rep_id").alias("a"), F.col("sig").alias("sig_a"))
+    right = blocks.select("blk", "val", F.col("rep_id").alias("b"), F.col("sig").alias("sig_b"))
+    return (
+        left.join(right, ["blk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+
+
+def verify_hamming(cands: DataFrame, radius: int = 3) -> DataFrame:
+    """(a, b, dist) with dist = bit_count(xor) ≤ radius — one codegen expr."""
+    return (
+        cands.withColumn("dist", H.hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("dist") <= radius)
+        .select("a", "b", "dist")
+    )
+
+
+def phash_near_dup_edges(images: DataFrame, radius: int = 3,
+                         id_col: str = "image_id", sig_col: str = "phash",
+                         ) -> tuple[DataFrame, DataFrame]:
+    """Full perceptual near-dup pipeline → (edges(a,b), verified(a,b,dist)).
+
+    edges = star edges (identical sig) ∪ verified pairs within radius.
+    """
+    reps, star = collapse_exact_sig(images, id_col, sig_col)
+    verified = verify_hamming(hamming_candidates(reps, radius), radius)
+    edges = star.unionByName(verified.select("a", "b"))
+    return edges, verified

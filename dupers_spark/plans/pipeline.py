@@ -1,0 +1,155 @@
+"""End-to-end dedup pipeline with per-stage checkpoints, lineage + metrics.
+
+Stages (each materialized as a parquet stage table under the warehouse dir;
+Iceberg would swap in transparently since every write goes through
+``_write_stage``):
+
+  signatures   — exact sha256 + phash per image (zero-byte rows excluded)
+  exact_edges  — byte-identical pair edges (star-collapsed)
+  lsh_edges    — caption MinHash/LSH verified edges + collapse stars
+  phash_edges  — perceptual Hamming-ball verified edges + collapse stars
+  components   — connected components over the union edge graph
+  metrics      — one row per (stage, partition-ish unit): rows, seconds
+
+Resumability (north_rule): each stage directory carries a marker file with
+a config hash; rerunning with the same config skips completed stages —
+mirroring dupers' incremental `up` semantics (dupe.go:941-966) at stage
+granularity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dupers_spark.operators import exact, minhash_lsh as ml, simhash as sh
+from dupers_spark.operators.components import connected_components, with_singletons
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    warehouse: str
+    lsh: ml.LSHConfig = field(default_factory=ml.LSHConfig)
+    phash_radius: int = 3
+    use_phash: bool = True
+    use_captions: bool = True
+
+    def config_hash(self) -> str:
+        blob = json.dumps(
+            {**asdict(self), "lsh": asdict(self.lsh)}, sort_keys=True
+        ).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.metrics: list[dict] = []
+
+    # ------------------------------------------------------------ storage
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.cfg.warehouse, name)
+
+    def _marker(self, name: str) -> str:
+        return os.path.join(self._stage_dir(name), "_CONFIG_HASH")
+
+    def _is_done(self, name: str) -> bool:
+        m = self._marker(name)
+        return os.path.exists(m) and open(m).read().strip() == self.cfg.config_hash()
+
+    def _write_stage(self, name: str, df: DataFrame) -> DataFrame:
+        t0 = time.time()
+        path = self._stage_dir(name)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        rows = out.count()
+        elapsed = time.time() - t0
+        self.metrics.append(
+            {"stage": name, "rows": rows, "seconds": round(elapsed, 3)}
+        )
+        with open(self._marker(name), "w") as fh:
+            fh.write(self.cfg.config_hash())
+        return out
+
+    def _read_stage(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._stage_dir(name))
+
+    def _stage(self, name: str, build) -> DataFrame:
+        """Checkpoint-or-build: the resume primitive."""
+        if self._is_done(name):
+            self.metrics.append({"stage": name, "rows": -1, "seconds": 0.0,
+                                 "resumed": True})
+            return self._read_stage(name)
+        return self._write_stage(name, build())
+
+    # ------------------------------------------------------------- stages
+    def run(self, images: DataFrame) -> DataFrame:
+        sigs = self._stage(
+            "signatures",
+            lambda: exact.signatures(images).join(
+                images.select("image_id", "phash", "caption"), "image_id"
+            ),
+        )
+
+        edge_frames: list[DataFrame] = []
+
+        exact_edges = self._stage(
+            "exact_edges",
+            lambda: exact.dup_groups(sigs.select("image_id", "sha256"))
+            .select("exemplar", F.explode("members").alias("member"))
+            .filter(F.col("member") != F.col("exemplar"))
+            .select(F.col("member").alias("a"), F.col("exemplar").alias("b")),
+        )
+        edge_frames.append(exact_edges)
+
+        if self.cfg.use_captions:
+            def build_lsh():
+                edges, verified, dropped = ml.near_dup_edges(
+                    sigs.select("image_id", "caption"), self.cfg.lsh
+                )
+                n_dropped = dropped.count()
+                self.metrics.append({"stage": "lsh_dropped_buckets", "rows": n_dropped,
+                                     "seconds": 0.0})
+                return edges
+
+            edge_frames.append(self._stage("lsh_edges", build_lsh))
+
+        if self.cfg.use_phash:
+            edge_frames.append(
+                self._stage(
+                    "phash_edges",
+                    lambda: sh.phash_near_dup_edges(
+                        sigs.select("image_id", "phash"), self.cfg.phash_radius
+                    )[0],
+                )
+            )
+
+        all_edges = edge_frames[0]
+        for e in edge_frames[1:]:
+            all_edges = all_edges.unionByName(e)
+
+        comps = self._stage(
+            "components",
+            lambda: with_singletons(
+                connected_components(all_edges), sigs.select("image_id")
+            ),
+        )
+
+        self._write_metrics()
+        return comps
+
+    def _write_metrics(self) -> None:
+        mdf = self.spark.createDataFrame(
+            [
+                (m["stage"], int(m["rows"]), float(m["seconds"]), bool(m.get("resumed", False)))
+                for m in self.metrics
+            ],
+            "stage string, rows long, seconds double, resumed boolean",
+        )
+        mdf.write.mode("overwrite").parquet(self._stage_dir("metrics"))

@@ -1,0 +1,212 @@
+"""Deterministic synthetic `images` table (BASELINE input_hint schema) with
+planted ground-truth duplicate structure (FIXTURES.md §A).
+
+Schema: (image_id string, bytes binary, w int, h int, fmt string,
+         caption string, phash long) + bucket string partition column.
+
+Layout is arithmetic on the row index i (g = i // 10, r = i % 10), so the
+ground truth is computable in closed form and generation is embarrassingly
+parallel (mapInPandas over spark.range) and independent of partitioning:
+
+  r=0  base image A_g, base caption C_g
+  r=1  EXACT byte copy of r=0                (exact engine)
+  r=2  re-encode of A_g's pixels (other fmt) (phash/simhash engine; caption =C_g)
+  r=3  fresh pixels, caption = C_g w/ 1 word swapped   (MinHash near-dup)
+  r=4  fresh pixels, caption = r3's caption w/ another swap (transitive chain)
+  r=5  fresh pixels, DEGENERATE flood caption (skew exercise, ~10% of rows)
+  r=6  noisy copy of A_g's pixels (±2) — phash near-dup; fresh caption
+  r=7..9 singletons
+  i=7 globally: zero-byte payload row (exclusion rule, dupe.go:142-144)
+
+Caption space: 12 words from a 64-word vocabulary; one swap ⇒ word-3-shingle
+Jaccard ≈ 7/13 ≈ 0.54; two swaps ⇒ ≈ 0.25 (below τ=0.5 ⇒ chain only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from dupers_spark.functions.imagecodec import average_phash, encode_image
+
+SEED = 42
+VOCAB = [
+    "spark", "table", "scan", "join", "filter", "group", "sort", "merge",
+    "hash", "key", "row", "column", "query", "order", "window", "batch",
+    "stream", "value", "data", "fast", "slow", "small", "large", "agg",
+    "part", "line", "customer", "vector", "index", "cache", "shard", "block",
+    "red", "green", "blue", "amber", "cyan", "violet", "coral", "olive",
+    "tiger", "eagle", "otter", "lynx", "heron", "viper", "crane", "moose",
+    "river", "cliff", "dune", "marsh", "ridge", "basin", "grove", "steppe",
+    "quiet", "brisk", "vivid", "stark", "muted", "crisp", "dense", "sparse",
+]
+FLOOD_CAPTION = " ".join(["the"] * 12)
+CAPTION_LEN = 12
+
+IMAGES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), True),
+    T.StructField("w", T.IntegerType(), True),
+    T.StructField("h", T.IntegerType(), True),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("caption", T.StringType(), True),
+    T.StructField("phash", T.LongType(), True),
+    T.StructField("bucket", T.StringType(), True),
+])
+
+
+def _image_id(i: int) -> str:
+    return f"img_{i:08d}"
+
+
+def _base_pixels(g: int) -> np.ndarray:
+    rng = np.random.default_rng(SEED * 1_000_003 + g)
+    h, w = int(rng.integers(8, 17)), int(rng.integers(8, 17))
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _fresh_pixels(i: int) -> np.ndarray:
+    rng = np.random.default_rng(SEED * 2_000_003 + i)
+    h, w = int(rng.integers(8, 17)), int(rng.integers(8, 17))
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _caption_words(g: int) -> list[str]:
+    rng = np.random.default_rng(SEED * 3_000_017 + g)
+    return [VOCAB[j] for j in rng.integers(0, len(VOCAB), CAPTION_LEN)]
+
+
+def _swap_word(words: list[str], g: int, which: int) -> list[str]:
+    """Deterministically replace one word (positions spread apart per swap)."""
+    rng = np.random.default_rng(SEED * 5_000_011 + g * 7 + which)
+    pos = (int(rng.integers(0, CAPTION_LEN // 2)) + which * (CAPTION_LEN // 2)) % CAPTION_LEN
+    out = list(words)
+    cur = out[pos]
+    repl = VOCAB[int(rng.integers(0, len(VOCAB)))]
+    if repl == cur:
+        repl = VOCAB[(VOCAB.index(cur) + 1) % len(VOCAB)]
+    out[pos] = repl
+    return out
+
+
+_FMTS = ["png", "bmp", "jpg"]
+
+
+def _row(i: int) -> dict:
+    g, r = divmod(i, 10)
+    base_fmt = _FMTS[g % 3]
+    if r == 0:
+        px, caption, fmt = _base_pixels(g), " ".join(_caption_words(g)), base_fmt
+    elif r == 1:
+        px, caption, fmt = _base_pixels(g), " ".join(_caption_words(g)), base_fmt
+    elif r == 2:
+        px, caption = _base_pixels(g), " ".join(_caption_words(g))
+        fmt = _FMTS[(g + 1) % 3]
+        if fmt == "jpg" and base_fmt == "jpg":  # unreachable, kept for clarity
+            fmt = "png"
+    elif r == 3:
+        px, fmt = _fresh_pixels(i), _FMTS[i % 3]
+        caption = " ".join(_swap_word(_caption_words(g), g, 0))
+    elif r == 4:
+        px, fmt = _fresh_pixels(i), _FMTS[i % 3]
+        caption = " ".join(_swap_word(_swap_word(_caption_words(g), g, 0), g, 1))
+    elif r == 5:
+        px, fmt, caption = _fresh_pixels(i), _FMTS[i % 3], FLOOD_CAPTION
+    elif r == 6:
+        rng = np.random.default_rng(SEED * 7_000_003 + i)
+        base = _base_pixels(g).astype(np.int16)
+        noise = rng.integers(-2, 3, base.shape, dtype=np.int16)
+        px = (base + noise).clip(0, 255).astype(np.uint8)
+        fmt = base_fmt
+        caption = " ".join(_fresh_caption(i))
+    else:
+        px, fmt = _fresh_pixels(i), _FMTS[i % 3]
+        caption = " ".join(_fresh_caption(i))
+
+    data = encode_image(px, fmt)
+    ph = average_phash(px)
+    if i == 7:  # the planted zero-byte row
+        data = b""
+    return {
+        "image_id": _image_id(i),
+        "bytes": data,
+        "w": int(px.shape[1]),
+        "h": int(px.shape[0]),
+        "fmt": fmt,
+        "caption": caption,
+        "phash": ph,
+        "bucket": f"bucket{i % 3}",
+    }
+
+
+def _fresh_caption(i: int) -> list[str]:
+    rng = np.random.default_rng(SEED * 11_000_027 + i)
+    return [VOCAB[j] for j in rng.integers(0, len(VOCAB), CAPTION_LEN)]
+
+
+def make_images(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic generation: spark.range → mapInPandas.
+
+    Content depends only on the row index, never on partitioning, so any
+    parallelism level produces byte-identical tables (required for the
+    two-parallelism scaling bench to double as a correctness check).
+    """
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n, 1, partitions)
+        .mapInPandas(gen, schema=IMAGES_SCHEMA)
+    )
+
+
+# ------------------------------------------------------------- ground truth
+
+def truth_exact_pairs(n: int) -> list[tuple[str, str]]:
+    """Pairs with byte-identical payloads: (r0, r1) per full group.
+
+    Excludes any pair touching the zero-byte row i=7 (never indexed) —
+    i=7 is r=7 so it never collides with the planted r0/r1 pairs anyway.
+    """
+    out = []
+    for g in range(n // 10):
+        a, b = g * 10, g * 10 + 1
+        if b < n:
+            out.append((_image_id(a), _image_id(b)))
+    return out
+
+
+def truth_caption_components(n: int) -> dict[str, int]:
+    """Expected caption-space component per image id at τ=0.5 word-3-shingle
+    Jaccard: {r0,r1,r2,r3,r4} per group (r3/r4 attach via the chain), plus one
+    global flood component of all r5 rows. Singletons omitted.
+    """
+    comp: dict[str, int] = {}
+    for g in range(n // 10):
+        for r in range(5):
+            i = g * 10 + r
+            if i < n:
+                comp[_image_id(i)] = g
+    flood = 10**9
+    for g in range(n // 10):
+        i = g * 10 + 5
+        if i < n:
+            comp[_image_id(i)] = flood
+    return comp
+
+
+def write_images(spark: SparkSession, n: int, path: str) -> None:
+    """Materialize as parquet partitioned by bucket (Iceberg-style layout)."""
+    make_images(spark, n).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def zero_byte_ids(n: int) -> list[str]:
+    return [_image_id(7)] if n > 7 else []

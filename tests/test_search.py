@@ -1,0 +1,51 @@
+"""Substring search: the four dupers variants + suffix-array ≡ scan."""
+
+from pyspark.sql import functions as F
+
+from dupers_spark.operators import search
+
+
+def test_contains_case_variants(spark, images_small):
+    term = "Tiger"
+    cs = search.search_contains(images_small, term)          # case-sensitive
+    ci = search.search_contains(images_small, term, case_sensitive=False)
+    assert cs.count() == 0  # captions are lowercase
+    assert ci.count() > 0
+    lower = search.search_contains(images_small, "tiger")
+    assert ci.count() == lower.count()
+
+
+def test_exact_variant(spark, images_small):
+    row = images_small.select("caption").first()
+    hit = search.search_exact(images_small, row["caption"])
+    assert hit.count() >= 1
+    assert search.search_exact(images_small, "no such caption at all").count() == 0
+
+
+def test_basename(spark):
+    df = spark.createDataFrame(
+        [("dir/sub/file_a.txt",), ("dir/a_sub/other.txt",)], ["image_id"]
+    )
+    assert search.search_basename(df, "file_a").count() == 1
+    assert search.search_basename(df, "a_sub").count() == 0  # dir part excluded
+    assert search.search_contains(df, "a_sub", col="image_id").count() == 1
+
+
+def test_suffix_index_equals_scan(spark, images_small):
+    """The suffix-array shard index must return exactly the scan answer."""
+    idx = search.build_suffix_index(images_small, "image_id", "caption").cache()
+    for term in ["tiger", "brisk large", "zzz-not-there"]:
+        via_index = {r["doc_id"] for r in search.query_suffix_index(idx, term).collect()}
+        via_scan = {
+            r["image_id"]
+            for r in search.search_contains(images_small, term).select("image_id").collect()
+        }
+        assert via_index == via_scan, term
+
+
+def test_suffix_index_deterministic_across_shards(spark, images_small):
+    i4 = search.build_suffix_index(images_small, "image_id", "caption", shards=4)
+    i9 = search.build_suffix_index(images_small, "image_id", "caption", shards=9)
+    a = {r["doc_id"] for r in search.query_suffix_index(i4, "scan").collect()}
+    b = {r["doc_id"] for r in search.query_suffix_index(i9, "scan").collect()}
+    assert a == b
