@@ -256,6 +256,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_topk"] = ann_topk
 
+    def embedding_near_dups(spark, sf):
+        # EXACT all-pairs variant (oracle-checkable); the SRP-bucketed
+        # approximate path is pytest-gated instead (tests/test_ann.py)
+        out = ann.cosine_pairs_exact(_emb(spark, sf), threshold=0.6)
+        return out.select("a", "b", F.round("cos", 5).alias("cos"))
+
+    q["embedding_near_dups"] = embedding_near_dups
+
+    def events_windowed(spark, sf):
+        from dupers_spark.streaming.ingest import windowed_event_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        out = windowed_event_counts(ev)
+        return out.select(
+            "win_start", "event_type", "cnt", F.round("sum_value", 4).alias("sum_value")
+        )
+
+    q["events_windowed"] = events_windowed
+
+    def top_customers(spark, sf):
+        from pyspark.sql import Window
+
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        spend = orders.groupBy("o_custkey").agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+        )
+        w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        top = spend.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+        return top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey).select(
+            "o_custkey", "c_name", "total_spend", "rnk"
+        )
+
+    q["top_customers"] = top_customers
+
+    def revenue_by_nation(spark, sf):
+        li = _lineitem(spark, sf)
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nation = spark.read.parquet(f"{sf}/nation.parquet")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("cnt"))
+        )
+
+    q["revenue_by_nation"] = revenue_by_nation
+
+    def quality_filter(spark, sf):
+        scored = textstats.quality_columns(_docs(spark, sf))
+        return scored.filter(F.col("quality_score") >= 0.5).select("doc_id")
+
+    q["quality_filter"] = quality_filter
+
     # --- classic agg sanity (lineitem) ----------------------------------
     def lineitem_pricing(spark, sf):
         li = _lineitem(spark, sf)
@@ -478,6 +536,63 @@ def oracle_sql() -> dict[str, str]:
                FROM scored)
         SELECT probe_id, neighbor_id, round(cos, 5) AS cos, CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 3
+    """
+
+    # embedding near-dups: same left-fold double arithmetic both engines
+    dot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           "list_transform(range(1, len(l.v) + 1), "
+           "i -> l.v[CAST(i AS INTEGER)] * r.v[CAST(i AS INTEGER)])), (x, y) -> x + y)")
+    nrm = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           "list_transform({side}.v, x -> x * x)), (x, y) -> x + y))")
+    o["embedding_near_dups"] = f"""
+        WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT l.vec_id AS a, r.vec_id AS b,
+               round({dot} / ({nrm.format(side='l')} * {nrm.format(side='r')}), 5) AS cos
+        FROM c l JOIN c r ON l.vec_id < r.vec_id
+        WHERE {dot} / ({nrm.format(side='l')} * {nrm.format(side='r')}) >= 0.6
+    """
+
+    o["events_windowed"] = """
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               count(*) AS cnt, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    o["top_customers"] = """
+        WITH spend AS (
+          SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+          FROM orders GROUP BY o_custkey),
+        ranked AS (
+          SELECT o_custkey, total_spend,
+                 row_number() OVER (ORDER BY total_spend DESC, o_custkey ASC) AS rnk
+          FROM spend)
+        SELECT r.o_custkey, c.c_name, r.total_spend, CAST(r.rnk AS INTEGER) AS rnk
+        FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+        WHERE r.rnk <= 10
+    """
+
+    o["revenue_by_nation"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+    stop2 = stop_list
+    o["quality_filter"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+                 round(least(CAST({ntok} AS DOUBLE) / 64.0, 1.0) * 0.4
+                   + (CASE WHEN length(text) > 0 THEN CAST({alpha} AS DOUBLE) / length(text) ELSE 0.0 END) * 0.4
+                   + least((CASE WHEN {ntok} > 0 THEN CAST({nstop} AS DOUBLE) / {ntok} ELSE 0.0 END) * 4.0, 1.0) * 0.2,
+                   6) AS quality_score
+          FROM documents)
+        SELECT doc_id FROM s WHERE quality_score >= 0.5
     """
 
     o["lineitem_pricing"] = """

@@ -44,7 +44,9 @@ def encode_png(px: np.ndarray) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        # level 1: datagen encodes millions of fixture images; decode is
+        # level-agnostic and output remains deterministic
+        + _png_chunk(b"IDAT", zlib.compress(raw, 1))
         + _png_chunk(b"IEND", b"")
     )
 

@@ -116,6 +116,24 @@ def lsh_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, dim: int = 64,
     )
 
 
+def cosine_pairs_exact(corpus: DataFrame, threshold: float,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """EXACT all-pairs cosine ≥ τ — O(n²) verification/oracle variant.
+
+    Production near-dup path is :func:`embedding_near_dup_pairs` (SRP
+    buckets); this exists for recall oracles and small probe sets.
+    """
+    b = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    left = b.select(F.col("id").alias("a"), F.col("vec").alias("va"))
+    right = b.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              dim: int = 64, n_planes: int = 12, seed: int = 42,
                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -102,10 +102,24 @@ def text_near_dup_components(df: DataFrame, cfg: ml.LSHConfig | None = None,
 
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", seed: int = 0) -> DataFrame:
-    """(id, simhash) over whitespace tokens — xxhash64 path (pytest-gated)."""
+                  text_col: str = "text", seed: int = 0,
+                  impl: str = "pandas") -> DataFrame:
+    """(id, simhash) over whitespace tokens.
+
+    impl='pandas': Arrow numpy kernel (production; 64 interpreted SQL
+    aggregates per row otherwise). impl='sql': pure-JVM variant.
+    Engine-internal hash values — pytest-gated, no cross-engine oracle.
+    """
     from dupers_spark.operators.textstats import tokens
 
+    if impl == "pandas":
+        from dupers_spark.functions.fasthash import simhash64_udf
+
+        sh = simhash64_udf(seed)
+        return df.select(
+            F.col(id_col).alias("id"),
+            sh(tokens(F.col(text_col))).alias("simhash"),
+        )
     return df.select(
         F.col(id_col).alias("id"),
         H.simhash64(tokens(F.col(text_col)), seed).alias("simhash"),

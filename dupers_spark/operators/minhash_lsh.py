@@ -45,70 +45,112 @@ class LSHConfig:
     threshold: float = 0.5      # exact-Jaccard verify threshold
     seed: int = 42
     max_bucket: int = 2000      # candidate cap per band bucket (skew guard)
+    impl: str = "pandas"        # 'pandas' (Arrow numpy kernel, fast) | 'sql'
 
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.num_perm:
             raise ValueError("bands * rows must equal num_perm")
 
 
-def collapse_exact(df: DataFrame, id_col: str = "image_id",
-                   text_col: str = "caption") -> tuple[DataFrame, DataFrame]:
-    """→ (reps(rep_id, caption), star_edges(a=member, b=rep)).
+def collapse_groups(df: DataFrame, id_col: str = "image_id",
+                    text_col: str = "caption") -> DataFrame:
+    """→ grouped(rep_id, caption, members): one shuffle on the text key.
 
-    One shuffle on caption. rep = min(id) for determinism (first-exemplar
-    rule, parse.go:113-115).
+    rep = min(id) for determinism (first-exemplar rule, parse.go:113-115).
+    Callers materialize THIS frame once and project reps/star from it.
     """
-    grouped = df.groupBy(text_col).agg(
+    return df.groupBy(F.col(text_col).alias("caption")).agg(
         F.min(id_col).alias("rep_id"),
         F.collect_set(id_col).alias("members"),
     )
-    reps = grouped.select("rep_id", F.col(text_col).alias("caption"))
-    star = (
+
+
+def collapse_exact(df: DataFrame, id_col: str = "image_id",
+                   text_col: str = "caption") -> tuple[DataFrame, DataFrame]:
+    """→ (reps(rep_id, caption), star_edges(a=member, b=rep))."""
+    grouped = collapse_groups(df, id_col, text_col)
+    return reps_from_groups(grouped), star_from_groups(grouped)
+
+
+def reps_from_groups(grouped: DataFrame) -> DataFrame:
+    return grouped.select("rep_id", "caption")
+
+
+def star_from_groups(grouped: DataFrame) -> DataFrame:
+    return (
         grouped.select("rep_id", F.explode("members").alias("member"))
         .filter(F.col("member") != F.col("rep_id"))
         .select(F.col("member").alias("a"), F.col("rep_id").alias("b"))
     )
-    return reps, star
 
 
 def signatures(reps: DataFrame, cfg: LSHConfig = LSHConfig()) -> DataFrame:
-    """reps(rep_id, caption) → (rep_id, shingles, sig array<long>)."""
+    """reps(rep_id, caption) → (rep_id, shingles, bands array<long>).
+
+    impl='pandas' (default): ONE fused Arrow/numpy kernel does shingling +
+    minhash + banding — no interpreted Spark HOF in the hot path (HOF eval
+    is slow AND shows 3× run-to-run CPU variance under JIT). impl='sql'
+    keeps everything JVM-side (oracle-checked variants / no-Python
+    fallback) — same output shape.
+    """
+    if cfg.impl == "pandas":
+        from dupers_spark.functions.fasthash import caption_signature_udf
+
+        fused = caption_signature_udf(
+            cfg.shingle_k, cfg.num_perm, cfg.bands, cfg.rows, cfg.seed
+        )
+        return reps.select("rep_id", fused(F.col("caption")).alias("s")).select(
+            "rep_id", F.col("s.shingles").alias("shingles"), F.col("s.bands").alias("bands")
+        )
     sh = H.word_shingles(F.col("caption"), cfg.shingle_k)
-    return reps.select(
-        "rep_id",
-        sh.alias("shingles"),
-    ).select(
-        "rep_id",
-        "shingles",
-        H.minhash_signature(H.hashed_shingles(F.col("shingles")), cfg.num_perm, cfg.seed).alias("sig"),
+    with_shingles = reps.select("rep_id", sh.alias("shingles"))
+    sig = H.minhash_signature(
+        H.hashed_shingles(F.col("shingles")), cfg.num_perm, cfg.seed
     )
+    band_arr = F.transform(
+        H.band_keys(sig, cfg.bands, cfg.rows), lambda bk: bk["key"]
+    )
+    return with_shingles.select("rep_id", "shingles", band_arr.alias("bands"))
 
 
 def band_buckets(sigs: DataFrame, cfg: LSHConfig = LSHConfig()) -> DataFrame:
-    """(rep_id, band, key) — one row per band per rep; equi-joinable."""
+    """(rep_id, band, key) — one row per band per rep; equi-joinable.
+
+    posexplode of the precomputed band-key array — compiled, no HOF.
+    """
     return sigs.select(
-        "rep_id", F.explode(H.band_keys(F.col("sig"), cfg.bands, cfg.rows)).alias("bk")
-    ).select("rep_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "rep_id", F.posexplode(F.col("bands")).alias("band", "key")
+    ).select("rep_id", "band", "key")
 
 
 def candidate_pairs(buckets: DataFrame, cfg: LSHConfig = LSHConfig()) -> tuple[DataFrame, DataFrame]:
-    """Self-join on (band, key) → distinct (a, b) rep pairs, a < b.
+    """(band, key) buckets → distinct (a, b) rep pairs, a < b.
 
-    Buckets larger than cfg.max_bucket are dropped and accounted in the
-    returned metrics DF (band, key, size) — silent recall loss is forbidden
-    (SURVEY §4.1). AQE skew-join splits the surviving heavy buckets.
+    ONE shuffle: groupBy (band, key) with collect_list, then in-row pair
+    expansion — no self-join, no materialized band table. The size cap is a
+    filter on the same aggregate; capped buckets are returned in the
+    metrics DF (band, key, size) — silent recall loss is forbidden
+    (SURVEY §4.1). Per-bucket work is O(size²) bounded by cfg.max_bucket;
+    AQE coalesces the post-shuffle partitions.
     """
-    sizes = buckets.groupBy("band", "key").agg(F.count("*").alias("size"))
-    dropped = sizes.filter(F.col("size") > cfg.max_bucket)
-    ok = buckets.join(
-        dropped.select("band", "key"), ["band", "key"], "left_anti"
+    grouped = buckets.groupBy("band", "key").agg(
+        F.collect_list("rep_id").alias("ids"), F.count("*").alias("size")
     )
-    left = ok.select("band", "key", F.col("rep_id").alias("a"))
-    right = ok.select("band", "key", F.col("rep_id").alias("b"))
+    dropped = grouped.filter(F.col("size") > cfg.max_bucket).select("band", "key", "size")
+    ok = grouped.filter((F.col("size") >= 2) & (F.col("size") <= cfg.max_bucket))
+    ids_sorted = F.array_sort("ids")
+    pairs_arr = F.flatten(
+        F.transform(
+            ids_sorted,
+            lambda x, i: F.transform(
+                F.slice(ids_sorted, i + F.lit(2), F.lit(cfg.max_bucket)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        ok.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
     return pairs, dropped
@@ -142,9 +184,20 @@ def near_dup_edges(images: DataFrame, cfg: LSHConfig = LSHConfig(),
     Returns (edges(a,b), verified_rep_pairs(a,b,sim), dropped_buckets).
     edges = star edges (exact-dup members → rep) ∪ verified rep pairs —
     feed to connected_components for cluster labels.
+
+    The signature frame is EAGERLY materialized (localCheckpoint) before
+    the fan-out: it feeds three downstream consumers (banding + both verify
+    sides), and Spark 4's AQE submits independent query stages
+    concurrently — a lazily-persisted frame would be recomputed by every
+    branch in parallel (observed 2-3× anti-scaling at 32 cores). The
+    checkpoint also truncates lineage past the collapse shuffle. In the
+    durable pipeline (plans/pipeline.py) these are parquet/Iceberg stage
+    tables instead — same dataflow.
     """
-    reps, star = collapse_exact(images, id_col, text_col)
-    sigs = signatures(reps, cfg)
+    grouped = collapse_groups(images, id_col, text_col).localCheckpoint()
+    star = star_from_groups(grouped)
+    sigs = signatures(reps_from_groups(grouped), cfg).localCheckpoint()
+    # band rows are consumed exactly once (single groupBy) — never cached
     buckets = band_buckets(sigs, cfg)
     pairs, dropped = candidate_pairs(buckets, cfg)
     verified = verify_pairs(pairs, sigs, cfg)

@@ -1,0 +1,221 @@
+"""Multimodal (binary-column) operators: decode, feature-extract, resize,
+PSNR verification — the training-data-pipeline components over opaque
+``binary`` payloads with typed metadata.
+
+All Python work is Arrow-batched ``mapInPandas`` (never per-row UDFs); the
+codecs are the pure-stdlib ones in functions/imagecodec.py (PNG/BMP real,
+"jpg" a clearly-marked deterministic fake since no image libs exist in this
+container — the Spark-side plumbing is real and tested either way).
+
+This stage is dupers' "normal mode": re-read every payload and recompute
+its signature (pkg/dupe/dupe.go:129-157 re-hashes file content), vs the
+"-fast" mode that trusts the stored index (docs/README.md:179-194) — our
+pipelines expose the same switch (PipelineConfig.fast).
+
+Audio/video modalities: schema + operator signatures are provided, decode
+is stubbed behind NotImplementedError (no codecs in the container).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from dupers_spark.functions.imagecodec import (
+    LOSSY_FMTS,
+    average_phash,
+    decode_image,
+    psnr,
+)
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("phash", T.LongType(), True),
+    T.StructField("w", T.IntegerType(), True),
+    T.StructField("h", T.IntegerType(), True),
+    T.StructField("gray_mean", T.DoubleType(), True),
+    T.StructField("gray_std", T.DoubleType(), True),
+    T.StructField("decode_ok", T.BooleanType(), False),
+])
+
+
+def image_features(images: DataFrame, id_col: str = "image_id",
+                   bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """Decode every payload, recompute perceptual features from pixels.
+
+    The compute-heavy signature stage (≈1-3 ms/row): column-pruned input is
+    only (id, bytes, fmt); Arrow batches are capped by
+    spark.sql.execution.arrow.maxRecordsPerBatch so worker memory stays
+    bounded regardless of image size.
+    """
+    src = images.select(
+        F.col(id_col).alias("image_id"),
+        F.col(bytes_col).alias("bytes"),
+        F.col(fmt_col).alias("fmt"),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                if data is None or len(data) == 0:
+                    rows.append((iid, None, None, None, None, None, False))
+                    continue
+                try:
+                    px = decode_image(bytes(data), fmt)
+                except Exception:
+                    rows.append((iid, None, None, None, None, None, False))
+                    continue
+                gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                rows.append((
+                    iid, average_phash(px), int(px.shape[1]), int(px.shape[0]),
+                    float(gray.mean()), float(gray.std()), True,
+                ))
+            cols = list(zip(*rows)) if rows else [[]] * 7
+            # nullable Int64 from the start: letting pd.DataFrame infer
+            # would demote int64+None columns to float64, whose 53-bit
+            # mantissa silently corrupts the low bits of phash
+            yield pd.DataFrame({
+                "image_id": pd.array(cols[0], dtype="string"),
+                "phash": pd.array(cols[1], dtype="Int64"),
+                "w": pd.array(cols[2], dtype="Int64"),
+                "h": pd.array(cols[3], dtype="Int64"),
+                "gray_mean": pd.array(cols[4], dtype="Float64"),
+                "gray_std": pd.array(cols[5], dtype="Float64"),
+                "decode_ok": pd.array(cols[6], dtype="boolean"),
+            })
+
+    return src.mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("thumb", T.ArrayType(T.DoubleType()), True),
+])
+
+
+def image_thumbnails(images: DataFrame, size: int = 8,
+                     id_col: str = "image_id", bytes_col: str = "bytes",
+                     fmt_col: str = "fmt") -> DataFrame:
+    """Decode → block-average resize to size×size grayscale → flat array.
+
+    The 'resize / feature-extract' multimodal op (real math, no stub)."""
+    src = images.select(
+        F.col(id_col).alias("image_id"),
+        F.col(bytes_col).alias("bytes"),
+        F.col(fmt_col).alias("fmt"),
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                if data is None or len(data) == 0:
+                    out.append((iid, None))
+                    continue
+                try:
+                    px = decode_image(bytes(data), fmt)
+                except Exception:
+                    out.append((iid, None))
+                    continue
+                gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                h, w = gray.shape
+                ys = (np.arange(size + 1) * h) // size
+                xs = (np.arange(size + 1) * w) // size
+                thumb = [
+                    float(gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                               xs[j]:max(xs[j + 1], xs[j] + 1)].mean())
+                    for i in range(size) for j in range(size)
+                ]
+                out.append((iid, thumb))
+            yield pd.DataFrame(out, columns=["image_id", "thumb"])
+
+    return src.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+PSNR_SCHEMA = T.StructType([
+    T.StructField("a", T.StringType(), False),
+    T.StructField("b", T.StringType(), False),
+    T.StructField("psnr_db", T.DoubleType(), True),
+    T.StructField("pixels_comparable", T.BooleanType(), False),
+])
+
+
+def pair_psnr(pairs: DataFrame, images: DataFrame,
+              id_col: str = "image_id", bytes_col: str = "bytes",
+              fmt_col: str = "fmt") -> DataFrame:
+    """Per-pair decoded-pixel PSNR — the BASELINE invariant verifier
+    (decoded-pixel allclose / PSNR ≥ 40 dB for lossy).
+
+    Two hash joins fetch both payloads, then one Arrow pass decodes and
+    compares. Run on sampled pairs at scale (pairs.sample(f)) — the caller
+    picks the fraction.
+    """
+    payload = images.select(
+        F.col(id_col).alias("pid"),
+        F.col(bytes_col).alias("pbytes"),
+        F.col(fmt_col).alias("pfmt"),
+    )
+    joined = (
+        pairs.select("a", "b")
+        .join(payload.withColumnRenamed("pid", "a")
+              .withColumnRenamed("pbytes", "bytes_a")
+              .withColumnRenamed("pfmt", "fmt_a"), "a")
+        .join(payload.withColumnRenamed("pid", "b")
+              .withColumnRenamed("pbytes", "bytes_b")
+              .withColumnRenamed("pfmt", "fmt_b"), "b")
+    )
+
+    def compare(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    pa = decode_image(bytes(r.bytes_a), r.fmt_a)
+                    pb = decode_image(bytes(r.bytes_b), r.fmt_b)
+                except Exception:
+                    out.append((r.a, r.b, None, False))
+                    continue
+                if pa.shape != pb.shape:
+                    out.append((r.a, r.b, None, False))
+                    continue
+                out.append((r.a, r.b, psnr(pa, pb), True))
+            yield pd.DataFrame(out, columns=["a", "b", "psnr_db", "pixels_comparable"])
+
+    return joined.mapInPandas(compare, schema=PSNR_SCHEMA)
+
+
+def is_lossy(fmt_col) -> F.Column:
+    return F.col(fmt_col).isin(*sorted(LOSSY_FMTS))
+
+
+# ----------------------------------------------------- audio/video (stubs)
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+])
+
+
+def audio_features(media: DataFrame, id_col: str = "media_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """STUB: audio decode requires codec libraries absent from this
+    container. The operator signature, schema, and Arrow plumbing mirror
+    image_features; the decode step raises."""
+    raise NotImplementedError(
+        "audio decoding unavailable in this container; see module docstring"
+    )
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 30,
+                        id_col: str = "media_id",
+                        bytes_col: str = "bytes") -> DataFrame:
+    """STUB: video frame sampling requires codec libraries absent from this
+    container. Schema: (media_id, frame_no, frame_png binary)."""
+    raise NotImplementedError(
+        "video decoding unavailable in this container; see module docstring"
+    )

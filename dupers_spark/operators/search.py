@@ -67,6 +67,35 @@ def search_exact(df: DataFrame, term: str, col: str = "caption",
 
 # ------------------------------------------------------- suffix-array index
 
+def _suffix_array(s: str) -> np.ndarray:
+    """O(n log² n) prefix-doubling suffix array, fully vectorized numpy.
+
+    Ranks start from unicode code points, so suffix order equals Python
+    string comparison order (what the binary-search probe uses).
+    """
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.fromiter(map(ord, s), dtype=np.int64, count=n)
+    idx = np.arange(n, dtype=np.int64)
+    k = 1
+    while True:
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        key_prev = (rank[order[:-1]], second[order[:-1]])
+        key_cur = (rank[order[1:]], second[order[1:]])
+        bump = (key_cur[0] != key_prev[0]) | (key_cur[1] != key_prev[1])
+        new_rank[order] = np.concatenate(([0], np.cumsum(bump)))
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+        if k >= n:
+            return np.lexsort((idx, rank))
+
+
 SA_SCHEMA = T.StructType([
     T.StructField("shard_id", T.IntegerType(), False),
     T.StructField("concat", T.StringType(), False),
@@ -102,10 +131,7 @@ def build_suffix_index(df: DataFrame, id_col: str = "image_id",
             offsets.append(pos)
             pos += len(t) + 1
         concat = SEP.join(texts) + SEP
-        # suffix sort: python sorted on memoryview slices is O(n log n · L̄);
-        # fine for caption-scale shards. numpy argsort over fixed-width
-        # prefixes would be the big-shard path.
-        sa = sorted(range(len(concat)), key=lambda i: concat[i:])
+        sa = _suffix_array(concat)
         return pd.DataFrame([{
             "shard_id": int(pdf["shard_id"].iloc[0]),
             "concat": concat,

@@ -27,13 +27,19 @@ from pyspark.sql import DataFrame, functions as F
 from dupers_spark.functions import hashing as H
 
 
+def collapse_sig_groups(df: DataFrame, id_col: str = "image_id",
+                        sig_col: str = "phash") -> DataFrame:
+    """→ grouped(rep_id, sig, members): one shuffle on the 64-bit key."""
+    return df.groupBy(F.col(sig_col).alias("sig")).agg(
+        F.min(id_col).alias("rep_id"), F.collect_set(id_col).alias("members")
+    )
+
+
 def collapse_exact_sig(df: DataFrame, id_col: str = "image_id",
                        sig_col: str = "phash") -> tuple[DataFrame, DataFrame]:
     """Identical 64-bit signatures collapse to one rep + star edges."""
-    grouped = df.groupBy(sig_col).agg(
-        F.min(id_col).alias("rep_id"), F.collect_set(id_col).alias("members")
-    )
-    reps = grouped.select("rep_id", F.col(sig_col).alias("sig"))
+    grouped = collapse_sig_groups(df, id_col, sig_col)
+    reps = grouped.select("rep_id", "sig")
     star = (
         grouped.select("rep_id", F.explode("members").alias("member"))
         .filter(F.col("member") != F.col("rep_id"))
@@ -73,7 +79,16 @@ def phash_near_dup_edges(images: DataFrame, radius: int = 3,
 
     edges = star edges (identical sig) ∪ verified pairs within radius.
     """
-    reps, star = collapse_exact_sig(images, id_col, sig_col)
+    # eager: both join sides + star consume the collapse output, and AQE
+    # runs query stages concurrently — a lazy persist would recompute the
+    # collapse shuffle per branch (observed anti-scaling at 32 cores)
+    grouped = collapse_sig_groups(images, id_col, sig_col).localCheckpoint()
+    reps = grouped.select("rep_id", "sig")
+    star = (
+        grouped.select("rep_id", F.explode("members").alias("member"))
+        .filter(F.col("member") != F.col("rep_id"))
+        .select(F.col("member").alias("a"), F.col("rep_id").alias("b"))
+    )
     verified = verify_hamming(hamming_candidates(reps, radius), radius)
     edges = star.unionByName(verified.select("a", "b"))
     return edges, verified

@@ -38,6 +38,12 @@ class PipelineConfig:
     phash_radius: int = 3
     use_phash: bool = True
     use_captions: bool = True
+    # fast=True: trust the stored phash column (dupers -fast,
+    # docs/README.md:179-194). fast=False: decode every payload and
+    # recompute perceptual features (dupers normal mode, dupe.go:129-157),
+    # plus a sampled decoded-pixel PSNR invariant stage.
+    fast: bool = True
+    psnr_sample: float = 0.05
 
     def config_hash(self) -> str:
         blob = json.dumps(
@@ -90,12 +96,26 @@ class DedupPipeline:
 
     # ------------------------------------------------------------- stages
     def run(self, images: DataFrame) -> DataFrame:
-        sigs = self._stage(
-            "signatures",
-            lambda: exact.signatures(images).join(
-                images.select("image_id", "phash", "caption"), "image_id"
-            ),
-        )
+        if self.cfg.fast:
+            sigs = self._stage(
+                "signatures",
+                lambda: exact.signatures(images).join(
+                    images.select("image_id", "phash", "caption"), "image_id"
+                ),
+            )
+        else:
+            from dupers_spark.operators import multimodal as mm
+
+            features = self._stage(
+                "features", lambda: mm.image_features(images)
+            )
+            sigs = self._stage(
+                "signatures",
+                lambda: exact.signatures(images)
+                .join(features.filter(F.col("decode_ok"))
+                      .select("image_id", "phash"), "image_id")
+                .join(images.select("image_id", "caption"), "image_id"),
+            )
 
         edge_frames: list[DataFrame] = []
 
@@ -140,6 +160,25 @@ class DedupPipeline:
                 connected_components(all_edges), sigs.select("image_id")
             ),
         )
+
+        if not self.cfg.fast and self.cfg.psnr_sample > 0:
+            from dupers_spark.operators import multimodal as mm
+
+            def build_invariants():
+                sampled = exact_edges.sample(self.cfg.psnr_sample, seed=42)
+                scored = mm.pair_psnr(sampled, images)
+                caps = images.select("image_id", "caption")
+                cap_pairs = (
+                    sampled.join(caps.withColumnRenamed("image_id", "a")
+                                 .withColumnRenamed("caption", "cap_a"), "a")
+                    .join(caps.withColumnRenamed("image_id", "b")
+                          .withColumnRenamed("caption", "cap_b"), "b")
+                    .select("a", "b",
+                            (F.col("cap_a") == F.col("cap_b")).alias("caption_equal"))
+                )
+                return scored.join(cap_pairs, ["a", "b"], "left")
+
+            self._stage("invariants", build_invariants)
 
         self._write_metrics()
         return comps

@@ -36,12 +36,16 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64MB coalesces post-shuffle stages to ~16 tasks at our
+        # scales — too coarse for 32 cores; 8MB keeps reduce-side
+        # parallelism while still batching small shuffles
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # binary image rows can be large; keep Arrow batches bounded so the
         # Python worker never materializes more than ~batch * row_size bytes
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,0 +1,101 @@
+"""Structured Streaming ingest: continuous signature maintenance.
+
+The reference is strictly batch (SURVEY §2.9 — one process, one scan,
+exit; main.go:105-145); its *incremental* semantics (`up` hashes only new
+files, dupe.go:941-966) map naturally onto a streaming source feeding the
+same batch operators through foreachBatch:
+
+  readStream (new image files/partitions)
+    → foreachBatch: left-anti vs existing signatures (skip known ids)
+    → sha256 + append to the signatures stage table
+
+Event-stream analytics (windowed counts with watermark) are included for
+the `events` table family — the streaming surface a training-data pipeline
+needs for ingest monitoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dupers_spark.operators import exact
+from dupers_spark.sources.datagen import IMAGES_SCHEMA
+
+
+def stream_signatures(
+    spark: SparkSession,
+    input_dir: str,
+    signatures_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """File-source stream of image parquet → incremental signature appends.
+
+    Each micro-batch applies the walkCompare skip (left-anti on image_id
+    vs the accumulated signature table) before hashing — known rows are
+    never re-hashed, exactly dupers' ErrPathExist fast path.
+    """
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        try:
+            existing = spark_b.read.parquet(signatures_dir).select("image_id")
+        except Exception:
+            existing = None
+        fresh = batch if existing is None else exact.incremental_new(batch, existing)
+        sigs = exact.signatures(fresh)
+        sigs.write.mode("append").parquet(signatures_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — works on a
+    streaming OR batch events DataFrame (same expression either way)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type", "cnt", "sum_value",
+        )
+    )
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string",
+) -> StreamingQuery:
+    """File-source events stream → windowed counts, append mode."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = windowed_event_counts(stream)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -32,8 +32,16 @@ def main() -> None:
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing stage checkpoints")
     ap.add_argument("--report", default=None, help="write a JSON run report here")
+    ap.add_argument("--no-fast", action="store_true",
+                    help="decode payloads and recompute perceptual features "
+                         "(dupers 'normal mode'); default trusts stored phash "
+                         "(dupers -fast)")
+    ap.add_argument("--phash-radius", type=int, default=3)
+    ap.add_argument("--lsh-threshold", type=float, default=0.5)
+    ap.add_argument("--psnr-sample", type=float, default=0.05)
     args = ap.parse_args()
 
+    from dupers_spark.operators.minhash_lsh import LSHConfig
     from dupers_spark.plans.pipeline import DedupPipeline, PipelineConfig
     from dupers_spark.sources import datagen
 
@@ -51,7 +59,13 @@ def main() -> None:
     else:
         images = datagen.make_images(spark, args.n_images)
 
-    pipe = DedupPipeline(spark, PipelineConfig(warehouse=args.warehouse))
+    pipe = DedupPipeline(spark, PipelineConfig(
+        warehouse=args.warehouse,
+        lsh=LSHConfig(threshold=args.lsh_threshold),
+        phash_radius=args.phash_radius,
+        fast=not args.no_fast,
+        psnr_sample=args.psnr_sample,
+    ))
     comps = pipe.run(images)
     n_images = images.count()
     n_clusters = comps.select("component_id").distinct().count()

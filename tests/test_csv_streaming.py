@@ -1,0 +1,108 @@
+"""CSV round-trip contract + streaming incremental ingest."""
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from dupers_spark.operators import exact
+from dupers_spark.sources import csvio, datagen
+from dupers_spark.streaming import ingest
+
+
+def test_csv_round_trip(spark):
+    sigs = spark.createDataFrame(
+        [
+            ("bucket1/a.png", "bucket1", "ab" * 32),
+            ("bucket1/sub/b.png", "bucket1", "cd" * 32),
+            ("bucket2/c.png", "bucket2", "ef" * 32),
+        ],
+        ["image_id", "bucket", "sha256"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "export")
+        csvio.csv_export(sigs, "bucket1", path)
+        back, bucket = csvio.csv_import(spark, path)
+        assert bucket == "bucket1"
+        rows = {r["image_id"]: r["sha256"] for r in back.collect()}
+        assert rows == {"bucket1/a.png": "ab" * 32, "bucket1/sub/b.png": "cd" * 32}
+
+
+def test_csv_import_rejects_bad_header(spark):
+    import pytest
+
+    with tempfile.TemporaryDirectory() as td:
+        bad = os.path.join(td, "bad")
+        spark.createDataFrame([("x", "y")], ["c1", "c2"]).write.option(
+            "header", True
+        ).csv(bad)
+        with pytest.raises(ValueError):
+            csvio.csv_import(spark, bad)
+
+
+def test_csv_import_drops_invalid_digests(spark):
+    sigs = spark.createDataFrame(
+        [
+            ("bucket1/ok.png", "bucket1", "ab" * 32),
+            ("bucket1/evil.png", "bucket1", "nothex"),       # bad digest
+            ("bucket1/short.png", "bucket1", "ab" * 31),     # 62 hex chars
+        ],
+        ["image_id", "bucket", "sha256"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "export")
+        csvio.csv_export(sigs, "bucket1", path)
+        back, _ = csvio.csv_import(spark, path)
+        rows = back.collect()
+        assert len(rows) == 1  # 64-hex rule (csv.go:79-91)
+        assert rows[0]["image_id"] == "bucket1/ok.png"
+
+
+def test_mv_rm_bucket(spark):
+    sigs = spark.createDataFrame(
+        [("b1/a", "b1", "x"), ("b2/b", "b2", "y")], ["image_id", "bucket", "sha256"]
+    )
+    moved = csvio.mv_bucket(sigs, "b1", "b9")
+    assert {r["bucket"] for r in moved.collect()} == {"b9", "b2"}
+    assert {r["image_id"] for r in moved.collect()} == {"b9/a", "b2/b"}
+    assert csvio.rm_bucket(sigs, "b2").count() == 1
+
+
+def test_streaming_incremental_signatures(spark):
+    """New files are hashed; already-indexed ids are skipped (dupe.go:941-966)."""
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in")
+        sig_dir = os.path.join(td, "sigs")
+        ckpt = os.path.join(td, "ckpt")
+        images = datagen.make_images(spark, 40).cache()
+        images.filter(F.col("image_id") < "img_00000020").write.parquet(
+            inp, mode="overwrite"
+        )
+        q = ingest.stream_signatures(spark, inp, sig_dir, ckpt)
+        q.awaitTermination(120)
+        first = spark.read.parquet(sig_dir)
+        n1 = first.count()
+        assert n1 == 19  # 20 rows minus the zero-byte row (i=7)
+
+        # second wave: 20 new + all 20 old re-delivered in new files
+        images.write.mode("append").parquet(inp)
+        q2 = ingest.stream_signatures(spark, inp, sig_dir, ckpt)
+        q2.awaitTermination(120)
+        final = spark.read.parquet(sig_dir)
+        assert final.count() == 39  # dupes skipped, one zero-byte excluded
+        assert final.select("image_id").distinct().count() == 39
+
+
+def test_windowed_event_counts_batch(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 1, "click", 1.0, ""),
+            (2, "2024-01-01 00:50:00", 1, "click", 2.0, ""),
+            (3, "2024-01-01 01:10:00", 2, "view", 3.0, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["win_start"].hour, r["event_type"]): r["cnt"]
+           for r in ingest.windowed_event_counts(events).collect()}
+    assert out == {(0, "click"): 2, (1, "view"): 1}

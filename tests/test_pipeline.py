@@ -1,0 +1,84 @@
+"""DedupPipeline: end-to-end, resume, config invalidation, normal mode."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dupers_spark.plans.pipeline import DedupPipeline, PipelineConfig
+from dupers_spark.sources import datagen
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = datagen.make_images(spark, N).cache()
+    df.count()
+    return df
+
+
+def _expected_cluster_count(n):
+    # per full group of 10: {r0..r4, r6} cluster; one global flood; singletons
+    groups = n // 10
+    singletons = 3 * groups - 1  # r7, r8, r9 minus the zero-byte row (i=7)
+    return groups + 1 + singletons
+
+
+def test_fast_pipeline_and_resume(spark, images):
+    with tempfile.TemporaryDirectory() as td:
+        cfg = PipelineConfig(warehouse=os.path.join(td, "wh"))
+        p1 = DedupPipeline(spark, cfg)
+        comps = p1.run(images)
+        assert comps.count() == N - 1
+        n_clusters = comps.select("component_id").distinct().count()
+        assert n_clusters == _expected_cluster_count(N)
+        assert not any(m.get("resumed") for m in p1.metrics)
+
+        p2 = DedupPipeline(spark, cfg)
+        comps2 = p2.run(images)
+        resumed = [m for m in p2.metrics if m.get("resumed")]
+        assert len(resumed) >= 4  # every stage skipped
+        assert comps2.count() == N - 1
+
+        # changed config → full rebuild, no stale reuse
+        cfg3 = PipelineConfig(warehouse=os.path.join(td, "wh"), phash_radius=4)
+        p3 = DedupPipeline(spark, cfg3)
+        p3.run(images)
+        assert not any(m.get("resumed") for m in p3.metrics)
+
+
+def test_normal_mode_decodes_and_verifies(spark, images):
+    with tempfile.TemporaryDirectory() as td:
+        cfg = PipelineConfig(warehouse=os.path.join(td, "wh"), fast=False,
+                             psnr_sample=1.0)
+        p = DedupPipeline(spark, cfg)
+        comps = p.run(images)
+        assert comps.count() == N - 1
+        stages = {m["stage"] for m in p.metrics}
+        assert "features" in stages and "invariants" in stages
+        inv = spark.read.parquet(os.path.join(td, "wh", "invariants"))
+        rows = inv.collect()
+        assert rows
+        for r in rows:
+            assert r["pixels_comparable"]
+            assert r["psnr_db"] >= 40.0
+            assert r["caption_equal"]
+
+        # normal mode must produce the same clustering as fast mode here
+        # (stored phash == recomputed phash for this corpus)
+        cfg_fast = PipelineConfig(warehouse=os.path.join(td, "wh_fast"))
+        fast_comps = DedupPipeline(spark, cfg_fast).run(images)
+        a = {(r["image_id"], r["component_id"]) for r in comps.collect()}
+        b = {(r["image_id"], r["component_id"]) for r in fast_comps.collect()}
+        assert a == b
+
+
+def test_metrics_table_written(spark, images):
+    with tempfile.TemporaryDirectory() as td:
+        cfg = PipelineConfig(warehouse=os.path.join(td, "wh"))
+        DedupPipeline(spark, cfg).run(images)
+        m = spark.read.parquet(os.path.join(td, "wh", "metrics"))
+        assert {"stage", "rows", "seconds", "resumed"} <= set(m.columns)
+        assert m.count() >= 4

@@ -1,0 +1,70 @@
+"""Physical-plan quality gates: the plan we'd want at 100 TB, not just any
+plan that passes. Checks Catalyst artifacts in explain output:
+  * parquet filter pushdown + column pruning (F6 / SURVEY §4)
+  * broadcast join for small dimension sides
+  * no Python (BatchEvalPython) nodes in JVM-only operators
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from dupers_spark.operators import exact, search
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # ReadSchema must not contain unprojected columns
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_contains_search_prunes_columns(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = search.search_contains(docs, "merge", col="text").select("doc_id")
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", _plan(q)).group(1)
+    assert set(re.findall(r"(\w+):", read_schema)) == {"doc_id", "text"}
+
+
+def test_probe_join_broadcasts_small_index(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+    plan = _plan(exact.probe_matches(sigs, sigs.limit(50)))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_exact_operators_stay_jvm_side(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+    for df in [exact.dup_pairs(sigs), exact.dup_groups(sigs), exact.ls_listing(sigs)]:
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+        assert "ArrowEvalPython" not in plan  # exact engine needs no UDFs at all
+
+
+def test_whole_stage_codegen_present(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+    )
+    assert "WholeStageCodegen" in _plan(q)
