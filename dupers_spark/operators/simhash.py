@@ -29,19 +29,22 @@ from dupers_spark.functions import hashing as H
 
 def collapse_sig_groups(df: DataFrame, id_col: str = "image_id",
                         sig_col: str = "phash") -> DataFrame:
-    """→ grouped(rep_id, sig, members): one shuffle on the 64-bit key."""
+    """→ grouped(rep_id, sig): one shuffle, primitive min agg (no object
+    aggregation — most sigs are unique; see minhash_lsh.collapse_groups)."""
     return df.groupBy(F.col(sig_col).alias("sig")).agg(
-        F.min(id_col).alias("rep_id"), F.collect_set(id_col).alias("members")
+        F.min(id_col).alias("rep_id")
     )
 
 
 def collapse_exact_sig(df: DataFrame, id_col: str = "image_id",
                        sig_col: str = "phash") -> tuple[DataFrame, DataFrame]:
-    """Identical 64-bit signatures collapse to one rep + star edges."""
+    """Identical 64-bit signatures collapse to one rep + star edges
+    (member → rep via join-back on the sig key)."""
     grouped = collapse_sig_groups(df, id_col, sig_col)
     reps = grouped.select("rep_id", "sig")
     star = (
-        grouped.select("rep_id", F.explode("members").alias("member"))
+        df.select(F.col(id_col).alias("member"), F.col(sig_col).alias("sig"))
+        .join(grouped, "sig")
         .filter(F.col("member") != F.col("rep_id"))
         .select(F.col("member").alias("a"), F.col("rep_id").alias("b"))
     )
@@ -85,7 +88,8 @@ def phash_near_dup_edges(images: DataFrame, radius: int = 3,
     grouped = collapse_sig_groups(images, id_col, sig_col).localCheckpoint()
     reps = grouped.select("rep_id", "sig")
     star = (
-        grouped.select("rep_id", F.explode("members").alias("member"))
+        images.select(F.col(id_col).alias("member"), F.col(sig_col).alias("sig"))
+        .join(grouped, "sig")
         .filter(F.col("member") != F.col("rep_id"))
         .select(F.col("member").alias("a"), F.col("rep_id").alias("b"))
     )

@@ -121,10 +121,7 @@ class DedupPipeline:
 
         exact_edges = self._stage(
             "exact_edges",
-            lambda: exact.dup_groups(sigs.select("image_id", "sha256"))
-            .select("exemplar", F.explode("members").alias("member"))
-            .filter(F.col("member") != F.col("exemplar"))
-            .select(F.col("member").alias("a"), F.col("exemplar").alias("b")),
+            lambda: exact.dup_edges(sigs.select("image_id", "sha256")),
         )
         edge_frames.append(exact_edges)
 

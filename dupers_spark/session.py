@@ -42,10 +42,19 @@ def build_session(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # binary image rows can be large; keep Arrow batches bounded so the
-        # Python worker never materializes more than ~batch * row_size bytes
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch size bounds Python-worker memory (batch × row size)
+        # AND sets the per-batch overhead floor for skinny-row stages like
+        # LSH pair-gen (59M rows / batch size × ~10 ms). 16384 ≈ 10 MB for
+        # our payloads; drop toward 1-2k when individual rows reach ~1 MB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "16384"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # shuffle/spill files: the sandbox disk is a single-queue virtio
+        # device whose bandwidth does not scale with cores — tmpfs keeps
+        # shuffle I/O off the serial path (126 GB available). On a real
+        # cluster this is per-executor local SSD instead.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

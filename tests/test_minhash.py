@@ -55,6 +55,18 @@ def test_no_false_merges_below_threshold(spark, images_small):
         assert r["sim"] >= CFG.threshold
 
 
+def test_sql_impl_matches_pandas_impl_verified_pairs(spark, images_small):
+    """Both signature implementations must verify the same pair set — the
+    LSH hash family differs (crc/splitmix vs xxhash64) but verify is exact
+    Jaccard, so any difference is a recall difference, which the banding
+    math bounds below 1e-3 at this similarity level."""
+    _e1, v_pandas, _ = ml.near_dup_edges(images_small, ml.LSHConfig(impl="pandas"))
+    _e2, v_sql, _ = ml.near_dup_edges(images_small, ml.LSHConfig(impl="sql"))
+    p1 = {(r["a"], r["b"]) for r in v_pandas.collect()}
+    p2 = {(r["a"], r["b"]) for r in v_sql.collect()}
+    assert p1 == p2
+
+
 def test_component_sets_match_planted_truth(spark, images_small):
     edges, _v, _d = ml.near_dup_edges(images_small, CFG)
     assign = cc.connected_components(edges)
