@@ -235,13 +235,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_poly"] = minhash_poly
 
     def ngram_jaccard(spark, sf):
-        return dedup_text.ngram_jaccard_pairs(_docs(spark, sf), k=3, threshold=0.2)
+        return dedup_text.ngram_jaccard_pairs(_docs(spark, sf), k=3, threshold=0.2)[0]
 
     q["ngram_jaccard"] = ngram_jaccard
 
     def simhash_docs(spark, sf):
-        # xxhash64-based — engine-private, rows-only check (no oracle entry)
-        return dedup_text.simhash_table(_docs(spark, sf))
+        # poly-hash-seeded 30-bit simhash — cross-engine value oracle; the
+        # production xxhash64 simhash64 path is pytest-gated instead.
+        return dedup_text.simhash_table_poly(_docs(spark, sf))
 
     q["simhash_docs"] = simhash_docs
 
@@ -434,7 +435,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["bucket_info"] = f"""
         SELECT source AS bucket, count(*) AS items,
-               sum(length(CAST(doc_id AS VARCHAR)) + 32) AS kv_bytes
+               CAST(sum(length(CAST(doc_id AS VARCHAR)) + 32) AS BIGINT) AS kv_bytes
         FROM documents GROUP BY source ORDER BY source
     """
 
@@ -543,7 +544,20 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
     """
 
-    # simhash_docs: xxhash64-based — intentionally no oracle (rows-only)
+    # simhash_docs: poly-hash-seeded 30-bit simhash, bit-for-bit DuckDB twin
+    bit_terms = " + ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"h -> 2 * ((h // {1 << b}) % 2) - 1)), 0) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(30)
+    )
+    o["simhash_docs"] = f"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS BIGINT[])
+                      ELSE list_transform({toks}, tok -> {_poly_sql('tok')}) END AS hs
+          FROM documents)
+        SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM t
+    """
 
     o["ann_topk"] = """
         WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -615,14 +629,14 @@ def oracle_sql() -> dict[str, str]:
 
     o["events_json_extract"] = """
         SELECT event_type, count(*) AS cnt,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type
     """
 
     o["doc_stats_rollup"] = """
         SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
-               count(*) AS cnt, sum(n_chars) AS sum_chars
+               count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY ROLLUP (lang, source)
     """
 

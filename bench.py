@@ -52,7 +52,7 @@ def main() -> None:
         sigs = exact.signatures(images)
         exact_edges = exact.dup_edges(sigs)
         lsh_edges, _v, _d = ml.near_dup_edges(images)
-        ph_edges, _ = phash_near_dup_edges(images.filter(F.length("bytes") > 0))
+        ph_edges, _, _ = phash_near_dup_edges(images.filter(F.length("bytes") > 0))
         edges = exact_edges.unionByName(lsh_edges).unionByName(ph_edges)
         assign = connected_components(edges)
         extras["dedup_clusters"] = assign.select("component_id").distinct().count()

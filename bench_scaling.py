@@ -54,7 +54,7 @@ features = mm.image_features(images).filter(F.col("decode_ok")) \
 sigs = exact.signatures(images)
 exact_edges = exact.dup_edges(sigs)
 lsh_edges, _v, _d = ml.near_dup_edges(images)
-ph_edges, _ = phash_near_dup_edges(features)
+ph_edges, _, _ = phash_near_dup_edges(features)
 edges = exact_edges.unionByName(lsh_edges).unionByName(ph_edges)
 assign = connected_components(edges)
 clusters = assign.select("component_id").distinct().count()

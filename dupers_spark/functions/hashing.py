@@ -99,27 +99,42 @@ def hashed_tokens(tokens: Column, seed: int = 0) -> Column:
     return F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
 
 
-def simhash64(tokens: Column, seed: int = 0) -> Column:
-    """64-bit SimHash of a token array — pure SQL bit arithmetic.
+def simhash_from_hashed(hashed: Column, n_bits: int = 64) -> Column:
+    """SimHash from pre-hashed tokens — pure SQL bit arithmetic.
 
-    bit_b = sign of Σ_tokens (2*((xxhash64(t) >> b) & 1) - 1). The 64 bit
-    positions are unrolled Python-side (shift amounts must be literals);
-    token hashes are computed once. Empty token array → 0.
+    bit_b = sign of Σ_tokens (2*((h(t) >> b) & 1) - 1). The bit positions
+    are unrolled Python-side (shift amounts must be literals). Empty token
+    array → 0.
     """
-    hashed = hashed_tokens(tokens, seed)
 
     def bit_counter(b: int):
         # exactly-2-arg lambda: _create_lambda passes one variable per param
         return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
 
     val: Column = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         cnt = F.aggregate(hashed, F.lit(0).cast("long"), bit_counter(b))
         bit_val = (1 << b) if b < 63 else -(1 << 63)
         val = val.bitwiseOR(
             F.when(cnt > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
         )
     return val
+
+
+def simhash64(tokens: Column, seed: int = 0) -> Column:
+    """64-bit SimHash of a token array (xxhash64 token hashes, production)."""
+    return simhash_from_hashed(hashed_tokens(tokens, seed), 64)
+
+
+def simhash_poly(tokens: Column, n_bits: int = 30,
+                 mod: int = 1_000_000_007) -> Column:
+    """Cross-engine SimHash: token hash is the polynomial rolling hash
+    (poly_hash), so DuckDB reproduces the exact VALUES — this is the
+    value-oracle twin of :func:`simhash64`. n_bits ≤ 30 because the poly
+    hash only carries ~30 bits of entropy (mod < 2^30).
+    """
+    hashed = F.transform(tokens, lambda t: poly_hash(t, mod))
+    return simhash_from_hashed(hashed, n_bits)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -26,35 +26,54 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Γ(u) built from both edge directions; emit (v, m) for v > u."""
-    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    nbrs = sym.groupBy("u").agg(
-        F.least(F.min("v"), F.min("u")).alias("m"),
-        F.collect_set("v").alias("vs"),
+    """Γ(u) built from both edge directions; emit (v, m) for v > u.
+
+    Hub-safe: the per-node minimum is a primitive ``min`` groupBy joined
+    back onto the edge stream — no ``collect_set`` neighbor arrays, so a
+    10^8-member star component never concentrates its neighborhood in one
+    aggregation buffer (same pattern as exact.dup_edges).
+    """
+    # symmetrize via explode rather than union: a Union inside the iterative
+    # join plan trips Catalyst's UnionBase.rewriteConstraints (key-not-found
+    # on join-derived constraint attributes, Spark 4.1) and constraint
+    # rewriting over growing loop plans is wasted planner work anyway
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+                F.struct(F.col("v").alias("x"), F.col("u").alias("y")),
+            )
+        ).alias("e")
+    ).select(F.col("e.x").alias("u"), F.col("e.y").alias("v"))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", "u").alias("m")
     )
     return (
-        nbrs.select("u", "m", F.explode("vs").alias("v"))
-        .filter(F.col("v") > F.col("u"))
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Canonicalize edges so u ≥ v, group by u, attach small neighbors + u to min."""
+    """Canonicalize edges so u > v, attach small neighbors + u to min.
+
+    Hub-safe min+join-back, like :func:`_large_star`. In canonical form all
+    neighbors v < u, so m = min(N(u) ∪ {u}) = min(v).
+    """
     canon = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    nbrs = canon.groupBy("u").agg(
-        F.least(F.min("v"), F.min("u")).alias("m"),
-        F.collect_set("v").alias("vs"),
-    )
-    out = nbrs.select(
-        "u", "m", F.explode(F.array_union(F.array(F.col("u")), F.col("vs"))).alias("v")
-    )
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    # emit (v, m) per neighbor AND (u, m) in one pass — explode instead of a
+    # union (both branches would share lineage, which trips Catalyst's Union
+    # constraint rewrite); duplicates collapse in the distinct
     return (
-        out.filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        canon.join(mins, "u")
+        .select(F.explode(F.array(F.col("v"), F.col("u"))).alias("n"), "m")
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
         .distinct()
     )
 
@@ -78,19 +97,25 @@ def connected_components(
         edges = edges.localCheckpoint()
 
     def fingerprint(e: DataFrame) -> tuple[int, int]:
+        # order-independent, overflow-free: bit_xor never exceeds int64
+        # (a LongType SUM of hashes overflows at ~10M edges under Spark 4's
+        # default ANSI mode and would crash exactly at target scale)
         row = e.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 40))), F.lit(0)).alias("h"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
     prev = fingerprint(edges)
     for _ in range(max_iter):
+        # two alternating rounds per convergence check — halves the number
+        # of global sync barriers (fingerprint collect + checkpoint); the
+        # star operators are idempotent at the fixpoint so overshooting one
+        # round never changes the result
         edges2 = _small_star(_large_star(edges))
+        edges2 = _small_star(_large_star(edges2))
         if checkpoint:
             edges2 = edges2.localCheckpoint()
-        # converged when the distinct edge set is unchanged — one cheap
-        # aggregate (count + order-independent hash sum) per iteration
         cur = fingerprint(edges2)
         edges = edges2
         if cur == prev:

@@ -28,19 +28,37 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact word-k-gram Jaccard pairs via shingle inverted index.
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_df: int | None = None,
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Word-k-gram Jaccard pairs via shingle inverted index →
+    (pairs(a, b, jaccard), dropped_shingles(shingle, df)).
 
     explode distinct shingles → self-join on shingle → common counts →
     |A∩B| / (|A| + |B| − |A∩B|) ≥ τ. One shuffle on shingle, one on the
-    pair key; shingle frequency skew is bounded because shingles are
-    *distinct per doc* and stopword-only shingles can be capped upstream.
+    pair key.
+
+    max_df is the inverted-index flood guard: a shingle appearing in q docs
+    contributes q² pair rows, so one stopword shingle present in 10⁶ docs
+    would emit 10¹² rows. Shingles with document frequency > max_df are
+    excluded from the join and returned in the accounting DF — this makes
+    `common` a lower bound for pairs sharing dropped shingles (Jaccard
+    denominators still use the TRUE per-doc sizes), i.e. capped recall
+    loss, never quadratic blowup. max_df=None keeps the exact semantics
+    (the oracle-checked configuration).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(H.word_shingles(F.col(text_col), k)).alias("shingle"),
     )
+    # true Jaccard denominators — computed BEFORE any df-capping
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        dropped = freq.filter(F.col("df") > max_df)
+        sh = sh.join(dropped.select("shingle"), "shingle", "left_anti")
+    else:
+        dropped = sh.sparkSession.createDataFrame([], "shingle string, df long")
     pairs = (
         sh.alias("l")
         .join(sh.alias("r"), "shingle")
@@ -48,7 +66,7 @@ def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
         .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .agg(F.count("*").alias("common"))
     )
-    return (
+    out = (
         pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
         .withColumn(
@@ -58,6 +76,7 @@ def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return out, dropped
 
 
 def minhash_rows_poly(df: DataFrame, num_perm: int = 16, k: int = 3, seed: int = 7,
@@ -123,4 +142,18 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id",
     return df.select(
         F.col(id_col).alias("id"),
         H.simhash64(tokens(F.col(text_col)), seed).alias("simhash"),
+    )
+
+
+def simhash_table_poly(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_bits: int = 30) -> DataFrame:
+    """(id, simhash) with the cross-engine poly-hash-seeded SimHash —
+    value-identical SQL exists in DuckDB, so the driver oracle checks the
+    actual hash VALUES (the production xxhash64 path stays pytest-gated).
+    """
+    from dupers_spark.operators.textstats import tokens
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        H.simhash_poly(tokens(F.col(text_col)), n_bits).alias("simhash"),
     )

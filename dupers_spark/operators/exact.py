@@ -33,14 +33,18 @@ def signatures(images: DataFrame, id_col: str = "image_id", payload_col: str = "
                bucket_col: str | None = "bucket") -> DataFrame:
     """images → (image_id[, bucket], sha256 hex) signature table.
 
-    Drops zero-byte payloads (dupe.go:142-144). ``sha2`` runs JVM-side in
-    whole-stage codegen; no Python boundary.
+    Empty payloads ARE indexed — they hash to sha256('') = e3b0c4... and
+    group as duplicates of each other, matching the reference: the
+    dupe.go:142-144 guard rejects only an all-zero *checksum*, and
+    parse.Read returns the regular empty-input digest for empty files.
+    Only NULL payloads (no content at all) are dropped. ``sha2`` runs
+    JVM-side in whole-stage codegen; no Python boundary.
     """
     cols = [F.col(id_col).alias("image_id")]
     if bucket_col and bucket_col in images.columns:
         cols.append(F.col(bucket_col).alias("bucket"))
     cols.append(F.sha2(F.col(payload_col), 256).alias("sha256"))
-    return images.filter(F.length(F.col(payload_col)) > 0).select(*cols)
+    return images.filter(F.col(payload_col).isNotNull()).select(*cols)
 
 
 def dup_pairs(sigs: DataFrame) -> DataFrame:

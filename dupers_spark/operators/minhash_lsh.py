@@ -222,8 +222,9 @@ def _gen_pairs_sorted(max_bucket: int):
     return gen
 
 
-def candidate_pairs(buckets: DataFrame, cfg: LSHConfig = LSHConfig()) -> tuple[DataFrame, DataFrame]:
-    """(band, key) buckets → distinct (a, b) rep pairs, a < b.
+def grouped_pair_expansion(buckets: DataFrame, max_bucket: int) -> tuple[DataFrame, DataFrame]:
+    """(band, key, rep_id) buckets → (distinct (a, b) pairs a < b,
+    dropped(band, key, size)).
 
     ONE plain exchange (repartition + sort on the bucket key — compact
     unsafe-row sort, no aggregation machinery), then a vectorized Arrow
@@ -232,15 +233,17 @@ def candidate_pairs(buckets: DataFrame, cfg: LSHConfig = LSHConfig()) -> tuple[D
     -unique keys at 25 µs/row of JVM CPU — object aggs don't survive
     web-scale banding.
 
-    Buckets above cfg.max_bucket yield no pairs and are returned in the
+    Buckets above max_bucket yield no pairs and are returned in the
     dropped-metrics DF (band, key, size) — recall loss is never silent
     (SURVEY §4.1). Per-bucket work is O(size²), bounded by the cap.
+    Shared by the LSH band join and the simhash pigeonhole block join —
+    both are instances of "expand pairs within bounded equi-key groups".
     """
     sorted_buckets = buckets.repartition("band", "key").sortWithinPartitions(
         "band", "key", "rep_id"
     )
     out = sorted_buckets.mapInPandas(
-        _gen_pairs_sorted(cfg.max_bucket),
+        _gen_pairs_sorted(max_bucket),
         schema="a string, b string, dband int, dkey long, dsize long",
     )
     pairs = out.filter(F.col("a").isNotNull()).select("a", "b").distinct()
@@ -249,6 +252,11 @@ def candidate_pairs(buckets: DataFrame, cfg: LSHConfig = LSHConfig()) -> tuple[D
         F.col("dsize").alias("size"),
     )
     return pairs, dropped
+
+
+def candidate_pairs(buckets: DataFrame, cfg: LSHConfig = LSHConfig()) -> tuple[DataFrame, DataFrame]:
+    """LSH band buckets → candidate pairs (see grouped_pair_expansion)."""
+    return grouped_pair_expansion(buckets, cfg.max_bucket)
 
 
 def verify_pairs(pairs: DataFrame, sigs: DataFrame,

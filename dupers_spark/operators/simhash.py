@@ -51,25 +51,33 @@ def collapse_exact_sig(df: DataFrame, id_col: str = "image_id",
     return reps, star
 
 
-def hamming_candidates(reps: DataFrame, radius: int = 3) -> DataFrame:
-    """(a, b) rep pairs sharing ≥1 of the radius+1 key blocks, a < b."""
+def hamming_candidates(reps: DataFrame, radius: int = 3,
+                       max_bucket: int = 2000) -> tuple[DataFrame, DataFrame]:
+    """→ (candidate pairs (a, b), dropped(band, key, size)).
+
+    Pigeonhole block values are only 64/(radius+1) bits wide (16 bits at
+    radius 3), so at n ≫ 2^16 reps every (blk, val) bucket holds ~n/65536
+    rows and a naive self-join is O(n²/2^16). The same bounded-bucket
+    expansion as the LSH engine (minhash_lsh.grouped_pair_expansion) caps
+    per-bucket work at max_bucket² with accounted drops — recall loss is
+    never silent.
+    """
+    from dupers_spark.operators.minhash_lsh import grouped_pair_expansion
+
     blocks = reps.select(
-        "rep_id", "sig", F.explode(H.hamming_blocks(F.col("sig"), radius)).alias("b")
-    ).select("rep_id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
-    left = blocks.select("blk", "val", F.col("rep_id").alias("a"), F.col("sig").alias("sig_a"))
-    right = blocks.select("blk", "val", F.col("rep_id").alias("b"), F.col("sig").alias("sig_b"))
-    return (
-        left.join(right, ["blk", "val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
-        .distinct()
-    )
+        "rep_id", F.explode(H.hamming_blocks(F.col("sig"), radius)).alias("b")
+    ).select(F.col("b.blk").alias("band"), F.col("b.val").alias("key"), "rep_id")
+    return grouped_pair_expansion(blocks, max_bucket)
 
 
-def verify_hamming(cands: DataFrame, radius: int = 3) -> DataFrame:
-    """(a, b, dist) with dist = bit_count(xor) ≤ radius — one codegen expr."""
+def verify_hamming(cands: DataFrame, reps: DataFrame, radius: int = 3) -> DataFrame:
+    """(a, b, dist) with dist = bit_count(xor) ≤ radius — sig fetch is two
+    hash joins, the distance itself one codegen expr."""
+    sa = reps.select(F.col("rep_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = reps.select(F.col("rep_id").alias("b"), F.col("sig").alias("sig_b"))
     return (
-        cands.withColumn("dist", H.hamming64(F.col("sig_a"), F.col("sig_b")))
+        cands.join(sa, "a").join(sb, "b")
+        .withColumn("dist", H.hamming64(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("dist") <= radius)
         .select("a", "b", "dist")
     )
@@ -77,8 +85,10 @@ def verify_hamming(cands: DataFrame, radius: int = 3) -> DataFrame:
 
 def phash_near_dup_edges(images: DataFrame, radius: int = 3,
                          id_col: str = "image_id", sig_col: str = "phash",
-                         ) -> tuple[DataFrame, DataFrame]:
-    """Full perceptual near-dup pipeline → (edges(a,b), verified(a,b,dist)).
+                         max_bucket: int = 2000,
+                         ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full perceptual near-dup pipeline →
+    (edges(a,b), verified(a,b,dist), dropped_buckets(band,key,size)).
 
     edges = star edges (identical sig) ∪ verified pairs within radius.
     """
@@ -93,6 +103,7 @@ def phash_near_dup_edges(images: DataFrame, radius: int = 3,
         .filter(F.col("member") != F.col("rep_id"))
         .select(F.col("member").alias("a"), F.col("rep_id").alias("b"))
     )
-    verified = verify_hamming(hamming_candidates(reps, radius), radius)
+    cands, dropped = hamming_candidates(reps, radius, max_bucket)
+    verified = verify_hamming(cands, reps, radius)
     edges = star.unionByName(verified.select("a", "b"))
-    return edges, verified
+    return edges, verified, dropped

@@ -57,6 +57,7 @@ class DedupPipeline:
         self.spark = spark
         self.cfg = cfg
         self.metrics: list[dict] = []
+        self._input_fp = ""  # set by run(); folded into stage markers
 
     # ------------------------------------------------------------ storage
     def _stage_dir(self, name: str) -> str:
@@ -65,9 +66,15 @@ class DedupPipeline:
     def _marker(self, name: str) -> str:
         return os.path.join(self._stage_dir(name), "_CONFIG_HASH")
 
+    def _marker_value(self) -> str:
+        # config hash + input identity: resuming against a *different* input
+        # table (rerun with more rows, new snapshot) must rebuild, not
+        # silently reuse stale signatures/edges/components
+        return f"{self.cfg.config_hash()}:{self._input_fp}"
+
     def _is_done(self, name: str) -> bool:
         m = self._marker(name)
-        return os.path.exists(m) and open(m).read().strip() == self.cfg.config_hash()
+        return os.path.exists(m) and open(m).read().strip() == self._marker_value()
 
     def _write_stage(self, name: str, df: DataFrame) -> DataFrame:
         t0 = time.time()
@@ -80,7 +87,7 @@ class DedupPipeline:
             {"stage": name, "rows": rows, "seconds": round(elapsed, 3)}
         )
         with open(self._marker(name), "w") as fh:
-            fh.write(self.cfg.config_hash())
+            fh.write(self._marker_value())
         return out
 
     def _read_stage(self, name: str) -> DataFrame:
@@ -96,6 +103,14 @@ class DedupPipeline:
 
     # ------------------------------------------------------------- stages
     def run(self, images: DataFrame) -> DataFrame:
+        # input identity for resume safety: row count + order-independent
+        # xor of id hashes (one cheap aggregate, overflow-free)
+        fp_row = images.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(image_id))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        self._input_fp = f"{fp_row['n']}:{fp_row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
+
         if self.cfg.fast:
             sigs = self._stage(
                 "signatures",
@@ -109,11 +124,21 @@ class DedupPipeline:
             features = self._stage(
                 "features", lambda: mm.image_features(images)
             )
+            # left-join features so undecodable payloads keep their exact
+            # SHA-256 signature (dupers normal mode hashes file content
+            # regardless of decodability, dupe.go:129-157); only the
+            # perceptual stage skips null-phash rows
             sigs = self._stage(
                 "signatures",
                 lambda: exact.signatures(images)
-                .join(features.filter(F.col("decode_ok"))
-                      .select("image_id", "phash"), "image_id")
+                .join(
+                    features.select(
+                        "image_id",
+                        F.when(F.col("decode_ok"), F.col("phash")).alias("phash"),
+                    ),
+                    "image_id",
+                    "left",
+                )
                 .join(images.select("image_id", "caption"), "image_id"),
             )
 
@@ -138,14 +163,17 @@ class DedupPipeline:
             edge_frames.append(self._stage("lsh_edges", build_lsh))
 
         if self.cfg.use_phash:
-            edge_frames.append(
-                self._stage(
-                    "phash_edges",
-                    lambda: sh.phash_near_dup_edges(
-                        sigs.select("image_id", "phash"), self.cfg.phash_radius
-                    )[0],
+            def build_phash():
+                edges, _verified, dropped = sh.phash_near_dup_edges(
+                    sigs.select("image_id", "phash")
+                    .filter(F.col("phash").isNotNull()),
+                    self.cfg.phash_radius,
                 )
-            )
+                self.metrics.append({"stage": "phash_dropped_buckets",
+                                     "rows": dropped.count(), "seconds": 0.0})
+                return edges
+
+            edge_frames.append(self._stage("phash_edges", build_phash))
 
         all_edges = edge_frames[0]
         for e in edge_frames[1:]:

@@ -27,7 +27,12 @@ def csv_export(sigs: DataFrame, bucket: str, path: str) -> None:
     '<bucket>/<relative>' paths; the bucket prefix is stripped like
     TrimPrefix does.
     """
-    rel = F.regexp_replace("image_id", f"^{bucket}/", "")
+    # literal prefix strip (reference uses strings.TrimPrefix, io.go:115) —
+    # a regex here would misfire on buckets containing metacharacters
+    rel = F.when(
+        F.col("image_id").startswith(bucket + "/"),
+        F.expr(f"substring(image_id, {len(bucket) + 2})"),
+    ).otherwise(F.col("image_id"))
     out = (
         sigs.filter(F.col("bucket") == bucket)
         .select(
@@ -62,7 +67,11 @@ def csv_import(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
         )
         .filter(F.col("sha256").rlike("^[0-9a-fA-F]{64}$"))
         .select(
-            F.concat(F.lit(bucket + "/"), F.col("rel")).alias("image_id"),
+            # genuine dupers CSVs keep a leading '/' on rel paths — trim it
+            # so restored ids are 'bucket/rel', never 'bucket//rel'
+            F.concat(
+                F.lit(bucket + "/"), F.regexp_replace(F.col("rel"), "^/", "")
+            ).alias("image_id"),
             F.lit(bucket).alias("bucket"),
             F.lower(F.col("sha256")).alias("sha256"),
         )

@@ -16,7 +16,9 @@ parallel (mapInPandas over spark.range) and independent of partitioning:
   r=5  fresh pixels, DEGENERATE flood caption (skew exercise, ~10% of rows)
   r=6  noisy copy of A_g's pixels (±2) — phash near-dup; fresh caption
   r=7..9 singletons
-  i=7 globally: zero-byte payload row (exclusion rule, dupe.go:142-144)
+  i=7 globally: zero-byte payload row (indexed under sha256(''), matching
+  the reference: parse.Read hashes empty files; dupe.go:142-144 only rejects
+  an all-zero checksum)
 
 Caption space: 12 words from a 64-word vocabulary; one swap ⇒ word-3-shingle
 Jaccard ≈ 7/13 ≈ 0.54; two swaps ⇒ ≈ 0.25 (below τ=0.5 ⇒ chain only).
@@ -128,7 +130,7 @@ def _row(i: int) -> dict:
 
     data = encode_image(px, fmt)
     ph = average_phash(px)
-    if i == 7:  # the planted zero-byte row
+    if i == 7:  # the planted zero-byte row (still indexed, see module doc)
         data = b""
     return {
         "image_id": _image_id(i),
@@ -173,8 +175,9 @@ def make_images(spark: SparkSession, n: int, partitions: int | None = None) -> D
 def truth_exact_pairs(n: int) -> list[tuple[str, str]]:
     """Pairs with byte-identical payloads: (r0, r1) per full group.
 
-    Excludes any pair touching the zero-byte row i=7 (never indexed) —
-    i=7 is r=7 so it never collides with the planted r0/r1 pairs anyway.
+    The zero-byte row i=7 is indexed (sha256('')) but is the only empty
+    payload, so it contributes no pair; i=7 is r=7 so it never collides with
+    the planted r0/r1 pairs anyway.
     """
     out = []
     for g in range(n // 10):

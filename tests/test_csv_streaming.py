@@ -83,15 +83,15 @@ def test_streaming_incremental_signatures(spark):
         q.awaitTermination(120)
         first = spark.read.parquet(sig_dir)
         n1 = first.count()
-        assert n1 == 19  # 20 rows minus the zero-byte row (i=7)
+        assert n1 == 20  # zero-byte row (i=7) indexed under sha256('')
 
         # second wave: 20 new + all 20 old re-delivered in new files
         images.write.mode("append").parquet(inp)
         q2 = ingest.stream_signatures(spark, inp, sig_dir, ckpt)
         q2.awaitTermination(120)
         final = spark.read.parquet(sig_dir)
-        assert final.count() == 39  # dupes skipped, one zero-byte excluded
-        assert final.select("image_id").distinct().count() == 39
+        assert final.count() == 40  # dupes skipped, zero-byte row indexed
+        assert final.select("image_id").distinct().count() == 40
 
 
 def test_windowed_event_counts_batch(spark):

@@ -8,11 +8,19 @@ from dupers_spark.sources import datagen
 N = 200
 
 
-def test_zero_byte_rows_excluded(spark, images_small):
+SHA256_EMPTY = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+
+def test_zero_byte_rows_indexed_under_empty_digest(spark, images_small):
+    """Reference semantics: empty files are indexed and group under
+    sha256('') — the dupe.go:142-144 guard rejects only an all-zero
+    checksum, not empty content."""
     sigs = exact.signatures(images_small)
-    ids = {r["image_id"] for r in sigs.select("image_id").collect()}
-    assert datagen.zero_byte_ids(N)[0] not in ids
-    assert len(ids) == N - 1
+    rows = {r["image_id"]: r["sha256"] for r in sigs.collect()}
+    zid = datagen.zero_byte_ids(N)[0]
+    assert zid in rows
+    assert rows[zid] == SHA256_EMPTY
+    assert len(rows) == N
 
 
 def test_exact_pairs_match_truth(spark, images_small):
@@ -77,6 +85,6 @@ def test_bucket_info_and_ls(spark, images_small):
     sigs = exact.signatures(images_small)
     info = {r["bucket"]: r for r in exact.bucket_info(sigs).collect()}
     assert set(info) == {"bucket0", "bucket1", "bucket2"}
-    assert sum(r["items"] for r in info.values()) == N - 1
+    assert sum(r["items"] for r in info.values()) == N
     ls = exact.ls_listing(sigs).collect()
     assert [r["image_id"] for r in ls] == sorted(r["image_id"] for r in ls)

@@ -21,8 +21,10 @@ def images(spark):
 
 def _expected_cluster_count(n):
     # per full group of 10: {r0..r4, r6} cluster; one global flood; singletons
+    # (r7, r8, r9 — the zero-byte row i=7 is indexed under sha256('') and is
+    # the only empty payload, so it stays a singleton)
     groups = n // 10
-    singletons = 3 * groups - 1  # r7, r8, r9 minus the zero-byte row (i=7)
+    singletons = 3 * groups
     return groups + 1 + singletons
 
 
@@ -31,7 +33,7 @@ def test_fast_pipeline_and_resume(spark, images):
         cfg = PipelineConfig(warehouse=os.path.join(td, "wh"))
         p1 = DedupPipeline(spark, cfg)
         comps = p1.run(images)
-        assert comps.count() == N - 1
+        assert comps.count() == N
         n_clusters = comps.select("component_id").distinct().count()
         assert n_clusters == _expected_cluster_count(N)
         assert not any(m.get("resumed") for m in p1.metrics)
@@ -40,7 +42,7 @@ def test_fast_pipeline_and_resume(spark, images):
         comps2 = p2.run(images)
         resumed = [m for m in p2.metrics if m.get("resumed")]
         assert len(resumed) >= 4  # every stage skipped
-        assert comps2.count() == N - 1
+        assert comps2.count() == N
 
         # changed config → full rebuild, no stale reuse
         cfg3 = PipelineConfig(warehouse=os.path.join(td, "wh"), phash_radius=4)
@@ -55,7 +57,7 @@ def test_normal_mode_decodes_and_verifies(spark, images):
                              psnr_sample=1.0)
         p = DedupPipeline(spark, cfg)
         comps = p.run(images)
-        assert comps.count() == N - 1
+        assert comps.count() == N
         stages = {m["stage"] for m in p.metrics}
         assert "features" in stages and "invariants" in stages
         inv = spark.read.parquet(os.path.join(td, "wh", "invariants"))

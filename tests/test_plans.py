@@ -67,4 +67,10 @@ def test_whole_stage_codegen_present(spark):
         .groupBy("l_returnflag")
         .agg(F.sum("l_quantity"))
     )
-    assert "WholeStageCodegen" in _plan(q)
+    # Under AQE the pre-execution plan shows AdaptiveSparkPlan with
+    # isFinalPlan=false and no codegen spans; execute first, then assert on
+    # the final executed plan, where codegen stages appear as '*(n)' markers.
+    q.collect()
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "*(" in executed  # WholeStageCodegen stage markers

@@ -92,5 +92,23 @@ def test_ngram_jaccard_pairs(spark):
         ],
         ["doc_id", "text"],
     )
-    pairs = dedup_text.ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
-    assert {(p["a"], p["b"]) for p in pairs} == {(0, 1)}
+    pairs, dropped = dedup_text.ngram_jaccard_pairs(df, k=3, threshold=0.5)
+    assert {(p["a"], p["b"]) for p in pairs.collect()} == {(0, 1)}
+    assert dropped.count() == 0  # no cap requested → exact semantics
+
+
+def test_ngram_jaccard_df_cap_bounds_flood(spark):
+    """One shingle present in every doc must not quadratically explode the
+    inverted-index join: with max_df set it is dropped and accounted."""
+    n = 50
+    # every doc starts with the same 3 words (one flood shingle) and then
+    # has a unique tail — without a cap the flood shingle alone contributes
+    # C(50,2)=1225 candidate pairs
+    rows = [(i, f"common stop words unique{i} tail{i} end{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs, dropped = dedup_text.ngram_jaccard_pairs(
+        df, k=3, threshold=0.01, max_df=10
+    )
+    d = {r["shingle"]: r["df"] for r in dropped.collect()}
+    assert "common stop words" in d and d["common stop words"] == n
+    assert pairs.count() == 0  # nothing shared beyond the dropped shingle
