@@ -154,6 +154,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bucket_info"] = bucket_info
 
+    def sensen_delete(spark, sf):
+        # -sensen over a synthetic layout: dir = source, every 17th doc is
+        # an ".exe"; deletion set = all rows outside dirs holding a unique exe
+        d = _docs_keyed(spark, sf)
+        sigs = d.select(
+            F.concat(
+                F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+                F.when(F.col("doc_id") % 17 == 0, F.lit(".exe")).otherwise(F.lit(".txt")),
+            ).alias("image_id"),
+            F.col("digest").alias("sha256"),
+        )
+        return exact.sensen_delete(sigs)
+
+    q["sensen_delete"] = sensen_delete
+
     # --- search family (SURVEY §2.7 T1-T3) ------------------------------
     def search_contains(spark, sf):
         return search.search_contains(_docs(spark, sf), "merge join", col="text").select(
@@ -245,6 +260,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_text.simhash_table_poly(_docs(spark, sf))
 
     q["simhash_docs"] = simhash_docs
+
+    # --- archive scan (dupers `up+`, SURVEY S4) --------------------------
+    def archive_scan_members(spark, sf):
+        # documents zipped per source (deterministic), then exploded +
+        # hashed by the archive-scan operator; the oracle recomputes member
+        # digests directly from the text column.
+        from dupers_spark.operators import archive
+
+        zips = datagen.zip_documents(_docs(spark, sf))
+        scan = archive.archive_scan(zips, id_col="archive_id")
+        return scan.filter(F.col("ok")).select("member_id", "sha256", "n_bytes")
+
+    q["archive_scan_members"] = archive_scan_members
 
     # --- similarity search ----------------------------------------------
     def ann_topk(spark, sf):
@@ -439,6 +467,20 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY source ORDER BY source
     """
 
+    o["sensen_delete"] = f"""
+        WITH s AS (
+          SELECT source || '/doc_' || CAST(doc_id AS VARCHAR)
+                   || (CASE WHEN doc_id % 17 = 0 THEN '.exe' ELSE '.txt' END) AS image_id,
+                 source AS dir, {_KEY_SQL} AS sha256,
+                 (doc_id % 17 = 0) AS is_exe
+          FROM documents),
+        cnts AS (SELECT sha256, count(*) AS cnt FROM s GROUP BY sha256),
+        keep AS (SELECT DISTINCT dir FROM s JOIN cnts USING (sha256)
+                 WHERE is_exe AND cnt = 1)
+        SELECT image_id, sha256 FROM s
+        WHERE dir NOT IN (SELECT dir FROM keep)
+    """
+
     o["search_contains"] = """
         SELECT doc_id FROM documents WHERE contains(text, 'merge join')
     """
@@ -557,6 +599,13 @@ def oracle_sql() -> dict[str, str]:
                       ELSE list_transform({toks}, tok -> {_poly_sql('tok')}) END AS hs
           FROM documents)
         SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM t
+    """
+
+    o["archive_scan_members"] = """
+        SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member_id,
+               sha256(text) AS sha256,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
     """
 
     o["ann_topk"] = """

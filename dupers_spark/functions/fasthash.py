@@ -125,6 +125,62 @@ def caption_signature_udf(shingle_k: int, num_perm: int, bands: int,
     return fused
 
 
+def _stack_vecs(series: pd.Series) -> np.ndarray:
+    """pd.Series of array<float> cells → (n, dim) float64 matrix."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def cosine_pair_udf() -> Column:
+    """Factory: pandas UDF (array a, array b) → double cosine.
+
+    One einsum per Arrow batch instead of an interpreted zip_with+aggregate
+    per row — at dim 512–1024 the HOF form is both plan bloat (per-element
+    lambda eval) and the documented 3× JIT-variance hot path. The HOF
+    variant (operators/ann.cosine) stays as the DuckDB-oracle twin.
+    """
+
+    @pandas_udf("double")
+    def cos2(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = _stack_vecs(a)
+        B = _stack_vecs(b)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return cos2
+
+
+def srp_table_keys_udf(dim: int, n_tables: int, n_planes: int,
+                       seed: int = 42) -> Column:
+    """Factory: pandas UDF array<float> vec → array<long> of n_tables SRP
+    bucket keys (OR-construction / banding for embeddings).
+
+    All n_tables·n_planes hyperplane dot products are ONE (batch × dim) @
+    (dim × L·p) matmul per Arrow batch; key_l packs table l's sign bits.
+    Replaces the per-plane literal-array HOF (12k plan literals at dim 768 ×
+    16 planes, interpreted per-row eval).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def keys(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="object")
+        X = _stack_vecs(vecs)
+        bits = (X @ planes.T) > 0  # (n, L*p)
+        per_table = [
+            bits[:, t * n_planes:(t + 1) * n_planes].astype(np.int64) @ weights
+            for t in range(n_tables)
+        ]
+        return pd.Series(np.stack(per_table, axis=1).tolist())
+
+    return keys
+
+
 def simhash64_udf(seed: int = 0) -> Column:
     """Factory: pandas UDF array<string> tokens → long simhash.
 

@@ -1,18 +1,24 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, per the training-data-pipeline mandate:
+Paths, per the training-data-pipeline mandate:
 
-  * brute-force cosine top-k — the exactness baseline: probe × corpus join,
-    dot product as a single JVM expression (zip_with + aggregate — no
-    Python), window top-k. Right shape when the probe set is small (probe
-    side broadcast; corpus scanned once).
-  * LSH-bucketed (random hyperplane / sign-random-projection): 16 seeded
-    hyperplanes → int bucket key; probes join only their own bucket (+
-    optional 1-bit multiprobe neighbors), then exact cosine re-rank within
-    candidates. At 10^12 rows this turns a full scan per probe into an
-    equi-join on a 16-bit key (≈ n/65536 candidates per probe).
+  * brute-force cosine top-k — the exactness baseline. Two variants:
+    the HOF form (zip_with + aggregate, deterministic left fold — the
+    DuckDB value-oracle twin) and the numpy form (one matmul per Arrow
+    batch with per-batch partial top-k — the production path at real
+    embedding dims, where interpreted HOF eval is the hot path).
+  * LSH-bucketed probe search (sign-random-projection): seeded hyperplanes
+    → int bucket key; probes join only their own bucket (+ optional 1-bit
+    multiprobe), then exact cosine re-rank. At 10^12 rows this turns a full
+    scan per probe into an equi-join.
+  * SRP near-dup pairs with OR-construction: L independent plane tables
+    (banding, exactly like minhash) — a single p-plane table has agreement
+    probability (1−θ/π)^p, only ≈0.29 at cos 0.95 with p=12; unioning L
+    tables lifts recall to 1−(1−(1−θ/π)^p)^L ≈ 0.99 while grouped bounded
+    bucket expansion (shared with the LSH engine) keeps the self-join
+    capped with accounted drops.
 
-All arithmetic is cast to double before summation — deterministic left fold
+HOF arithmetic is cast to double before summation — deterministic left fold
 in array order (F.aggregate), independent of partitioning.
 """
 
@@ -66,13 +72,72 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5,
     )
 
 
+def brute_force_topk_np(corpus: DataFrame, probes: DataFrame, k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Vectorized exact top-k: same contract as brute_force_topk, numpy path.
+
+    The probe matrix is broadcast to executors; each Arrow batch of the
+    corpus does ONE (batch × dim) @ (dim × m) matmul and emits only its
+    per-batch top-k per probe (partial top-k), so the final shuffle carries
+    ≤ k·m·n_batches rows instead of n·m. This is the production shape at
+    dim 512–1024 where the interpreted HOF dot product dominates.
+    """
+    import pandas as pd
+
+    from dupers_spark.functions.fasthash import _stack_vecs
+
+    spark = corpus.sparkSession
+    p_rows = probes.select(id_col, vec_col).collect()
+    pids = np.array([r[0] for r in p_rows], dtype=np.int64)
+    P = np.stack([np.asarray(r[1], dtype=np.float64) for r in p_rows])
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((pids, Pn))
+
+    def gen(batches):
+        pids_, Pn_ = bc.value
+        m = len(pids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _stack_vecs(pdf[vec_col])
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = Xn @ Pn_.T  # (n_batch, m)
+            nid = pdf[id_col].to_numpy()
+            S[nid[:, None] == pids_[None, :]] = -np.inf  # self-exclusion
+            kk = min(k, len(pdf))
+            # per-probe partial top-k within this batch
+            idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, m)
+            rows_p = np.repeat(pids_[None, :], kk, axis=0)
+            yield pd.DataFrame({
+                "probe_id": rows_p.ravel(),
+                "neighbor_id": nid[idx].ravel(),
+                "cos": np.take_along_axis(S, idx, axis=0).ravel(),
+            })
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema="probe_id long, neighbor_id long, cos double"
+    ).filter(F.col("cos") != F.lit(float("-inf")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: bit_j = (vec · plane_j) > 0."""
+    """Sign-random-projection bucket id: bit_j = (vec · plane_j) > 0.
+
+    HOF/literal-array form — kept ONLY as the portable oracle twin; the
+    production path is fasthash.srp_table_keys_udf (one matmul per Arrow
+    batch; this form embeds n_planes·dim plan literals and evaluates
+    interpreted per-row at embedding dims).
+    """
     val: Column = F.lit(0)
     for j, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
@@ -87,16 +152,19 @@ def lsh_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, dim: int = 64,
     """Approximate top-k: SRP bucket equi-join (+ multiprobe) → exact re-rank.
 
     multiprobe_bits: probes also visit buckets at Hamming distance 1 in the
-    first ``multiprobe_bits`` plane bits — recall/cost dial.
+    first ``multiprobe_bits`` plane bits — recall/cost dial. Bucket
+    assignment is the vectorized matmul kernel (one table).
     """
-    planes = hyperplanes(dim, n_planes, seed)
+    from dupers_spark.functions.fasthash import srp_table_keys_udf
+
+    keys = srp_table_keys_udf(dim, 1, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.element_at(keys(F.col(vec_col)), 1).alias("bucket"),
     )
     p0 = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.element_at(keys(F.col(vec_col)), 1).alias("bucket"),
     )
     # multiprobe: original bucket + 1-bit flips of the lowest bits
     variants = [F.col("bucket")] + [
@@ -135,24 +203,47 @@ def cosine_pairs_exact(corpus: DataFrame, threshold: float,
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
-                             dim: int = 64, n_planes: int = 12, seed: int = 42,
-                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs (a, b, cos ≥ τ) via SRP self-join.
+                             dim: int = 64, n_tables: int = 16, n_planes: int = 12,
+                             seed: int = 42, max_bucket: int = 2000,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             ) -> tuple[DataFrame, DataFrame]:
+    """Embedding-cosine near-dup pairs via SRP with OR-construction →
+    (pairs(a, b, cos ≥ τ), dropped_buckets(band, key, size)).
 
-    The dedup flavor of ANN: bucket self-join instead of probe fan-out.
+    L = n_tables independent p = n_planes plane tables, unioned — banding,
+    exactly like minhash. A single 12-plane table has agreement probability
+    (1−θ/π)^12 ≈ 0.29 at cos 0.95 (≈70% of true near-dups missed); with
+    L=16 tables recall is 1−(1−0.29)^16 ≈ 0.996 at cos 0.95 and ≈0.98 at
+    cos 0.93. Candidates are expanded with the same bounded-bucket kernel
+    as the LSH/simhash engines (max_bucket cap, accounted drops), then
+    verified with ONE exact-cosine matmul per Arrow batch.
     """
-    planes = hyperplanes(dim, n_planes, seed)
-    b = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    from dupers_spark.functions.fasthash import cosine_pair_udf, srp_table_keys_udf
+    from dupers_spark.operators.minhash_lsh import grouped_pair_expansion
+
+    id_type = dict(corpus.dtypes)[id_col]
+    keys_udf = srp_table_keys_udf(dim, n_tables, n_planes, seed)
+    base = corpus.select(
+        F.col(id_col).cast("string").alias("rep_id"),
+        F.col(vec_col).alias("vec"),
+        keys_udf(F.col(vec_col)).alias("keys"),
+    ).localCheckpoint()  # consumed by banding + both verify sides (AQE
+    # runs independent stages concurrently — see minhash_lsh.near_dup_edges)
+    buckets = base.select(
+        "rep_id", F.posexplode("keys").alias("band", "key")
     )
-    left = b.select(F.col("bucket"), F.col("id").alias("a"), F.col("vec").alias("va"))
-    right = b.select(F.col("bucket"), F.col("id").alias("b"), F.col("vec").alias("vb"))
-    return (
-        left.join(right, "bucket")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    cand, dropped = grouped_pair_expansion(buckets, max_bucket)
+    cos2 = cosine_pair_udf()
+    va = base.select(F.col("rep_id").alias("a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("rep_id").alias("b"), F.col("vec").alias("vb"))
+    verified = (
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("cos", cos2(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
-        .select("a", "b", "cos")
-        .distinct()
+        .select(
+            F.least(F.col("a").cast(id_type), F.col("b").cast(id_type)).alias("a"),
+            F.greatest(F.col("a").cast(id_type), F.col("b").cast(id_type)).alias("b"),
+            "cos",
+        )
     )
+    return verified, dropped

@@ -26,7 +26,7 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def signatures(images: DataFrame, id_col: str = "image_id", payload_col: str = "bytes",
@@ -159,6 +159,48 @@ def delete_candidates(incoming: DataFrame, index: DataFrame) -> DataFrame:
         incoming.select("image_id", "sha256")
         .join(exemplars, "sha256")
         .filter(F.col("image_id") != F.col("exemplar"))
+        .select("image_id", "sha256")
+    )
+
+
+def is_executable_id(id_col: Column | str = "image_id") -> Column:
+    """MS-DOS/Windows executable extension test (parse.go:288-295
+    isExecutable): case-insensitive .com / .exe on the basename."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.lower(c).rlike(r"\.(com|exe)$")
+
+
+def parent_dir(id_col: Column | str = "image_id") -> Column:
+    """Everything before the last '/' ('' for top-level ids)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.when(
+        c.contains("/"), F.regexp_replace(c, "/[^/]*$", "")
+    ).otherwise(F.lit(""))
+
+
+def sensen_delete(sigs: DataFrame) -> DataFrame:
+    """`dupers dupe -sensen`: rows to DELETE — everything in the source
+    except directories containing at least one UNIQUE MS-DOS/Windows
+    program (dupe.go:314-373 DelDirsExcept + parse.go:288-295).
+
+    Table model: directory = id prefix up to the last '/'; a directory is
+    kept iff it holds an executable whose digest appears exactly once in
+    sigs; top-level files (no directory) are always deleted. Two primitive
+    groupBys + one anti-join — no object aggregation.
+    """
+    with_dir = sigs.select(
+        "image_id", "sha256", parent_dir("image_id").alias("dir"),
+        is_executable_id("image_id").alias("is_exe"),
+    )
+    digest_counts = with_dir.groupBy("sha256").agg(F.count("*").alias("cnt"))
+    keep_dirs = (
+        with_dir.join(digest_counts, "sha256")
+        .filter(F.col("is_exe") & (F.col("cnt") == 1) & (F.col("dir") != ""))
+        .select("dir")
+        .distinct()
+    )
+    return (
+        with_dir.join(keep_dirs, "dir", "left_anti")
         .select("image_id", "sha256")
     )
 

@@ -52,6 +52,45 @@ class PipelineConfig:
         return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def compact_stage(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """`dupers db` compaction (database.go:308-371) as a real maintenance
+    operator: rewrite a parquet stage directory into ⌈total/target⌉
+    right-sized files. Returns {files_before, files_after, rows}.
+
+    On Iceberg this is rewrite_data_files; the parquet fallback stages the
+    rewrite in a sibling dir and swaps, so a crash never leaves the stage
+    half-written.
+    """
+    import glob
+    import shutil
+
+    files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True) if os.path.isfile(f)]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact"
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    # preserve non-parquet sidecars (stage markers) across the swap
+    sidecars = {}
+    for name in os.listdir(path):
+        p = os.path.join(path, name)
+        if os.path.isfile(p) and not name.endswith(".parquet") \
+                and not name.startswith(("_SUCCESS", ".")):
+            with open(p, "rb") as fh:
+                sidecars[name] = fh.read()
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    for name, blob in sidecars.items():
+        with open(os.path.join(path, name), "wb") as fh:
+            fh.write(blob)
+    after = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True) if os.path.isfile(f)]
+    return {"files_before": len(files), "files_after": len(after), "rows": rows}
+
+
 class DedupPipeline:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig):
         self.spark = spark

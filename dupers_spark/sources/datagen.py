@@ -213,3 +213,90 @@ def write_images(spark: SparkSession, n: int, path: str) -> None:
 
 def zero_byte_ids(n: int) -> list[str]:
     return [_image_id(7)] if n > 7 else []
+
+
+# ------------------------------------------------------------- archives
+
+def _member_blob(k: int) -> bytes:
+    """Deterministic member content; k is a global member index."""
+    return (f"member-content-{k:06d} " * 4 + "\n").encode()
+
+
+def make_archives(spark: SparkSession, n_archives: int = 12,
+                  members_per: int = 5) -> DataFrame:
+    """(image_id, bytes) rows whose payloads ARE archives — zip / tar /
+    tar.gz round-robin — with planted cross-archive duplicate members:
+
+      * member 0 of every archive has IDENTICAL bytes (global dup group)
+      * member 1 of archive a equals member 1 of archive a+1 when a is even
+        (pairwise dup)
+      * remaining members are unique
+      * the LAST archive is corrupt (truncated zip) → error-row fixture
+
+    Mirrors the reference's archive fixtures
+    (pkg/dupe/internal/archive/archive_test.go:373-408).
+    """
+    import io
+    import tarfile
+    import zipfile
+
+    def build(a: int) -> bytes:
+        members = []
+        for j in range(members_per):
+            if j == 0:
+                blob = b"shared-across-all-archives\n"
+            elif j == 1:
+                blob = _member_blob(1_000_000 + (a // 2))
+            else:
+                blob = _member_blob(a * members_per + j)
+            members.append((f"dir{j % 2}/m_{j}.txt", blob))
+        kind = a % 3
+        buf = io.BytesIO()
+        if kind == 0:
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                for name, blob in members:
+                    zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                    zf.writestr(zi, blob)
+        else:
+            mode = "w:" if kind == 1 else "w:gz"
+            with tarfile.open(fileobj=buf, mode=mode) as tf:
+                for name, blob in members:
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(blob)
+                    ti.mtime = 0
+                    tf.addfile(ti, io.BytesIO(blob))
+        return buf.getvalue()
+
+    rows = []
+    for a in range(n_archives):
+        data = build(a)
+        if a == n_archives - 1:
+            data = b"PK\x03\x04" + data[4:40]  # truncated zip → corrupt
+        rows.append((f"arch_{a:04d}.{['zip', 'tar', 'tar.gz'][a % 3]}", data))
+    return spark.createDataFrame(rows, "image_id string, bytes binary")
+
+
+def zip_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, source, text) → one deterministic zip per source:
+    members 'doc_<id>.txt' (sorted by id) containing the utf-8 text.
+
+    Oracle-friendly: member digests equal sha256(text), which DuckDB can
+    compute directly — giving the archive-scan operator a value oracle.
+    """
+    import io
+    import zipfile
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                zi = zipfile.ZipInfo(f"doc_{int(did)}.txt",
+                                     date_time=(1980, 1, 1, 0, 0, 0))
+                zf.writestr(zi, (text or "").encode("utf-8"))
+        return pd.DataFrame({"archive_id": [str(pdf["source"].iloc[0])],
+                             "bytes": [buf.getvalue()]})
+
+    return docs.select("doc_id", "source", "text").groupBy("source").applyInPandas(
+        build, schema="archive_id string, bytes binary"
+    )

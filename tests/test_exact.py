@@ -81,6 +81,47 @@ def test_clean_left_semi(spark, images_small):
     assert cleaned.filter(F.col("image_id") < "img_00000100").count() == 0
 
 
+def test_sensen_delete_keeps_unique_exe_dirs(spark):
+    """-sensen (dupe.go:314-373): delete everything except directories
+    holding a UNIQUE .com/.exe; top-level files always deleted."""
+    sigs = spark.createDataFrame(
+        [
+            ("games/doom/DOOM.EXE", "h1"),       # unique exe → dir kept
+            ("games/doom/readme.txt", "h2"),     # asset in kept dir
+            ("games/copy/doom2.exe", "h3"),      # dup exe (h3 twice) → not unique
+            ("other/doom2.exe", "h3"),
+            ("docs/notes.txt", "h4"),            # no exe → deleted
+            ("toplevel.exe", "h5"),              # top-level file → deleted
+        ],
+        ["image_id", "sha256"],
+    )
+    doomed = {r["image_id"] for r in exact.sensen_delete(sigs).collect()}
+    assert doomed == {
+        "games/copy/doom2.exe", "other/doom2.exe",
+        "docs/notes.txt", "toplevel.exe",
+    }
+
+
+def test_compact_stage_reduces_files(spark, tmp_path):
+    from dupers_spark.plans.pipeline import compact_stage
+
+    path = str(tmp_path / "stage")
+    df = spark.range(0, 10_000, 1, 16).selectExpr(
+        "cast(id as string) AS image_id", "sha2(cast(id as string), 256) AS sha256"
+    )
+    df.write.mode("overwrite").parquet(path)
+    with open(f"{path}/_CONFIG_HASH", "w") as fh:
+        fh.write("marker")
+    before = sorted(r["image_id"] for r in spark.read.parquet(path).collect())
+    stats = compact_stage(spark, path, target_file_bytes=10**9)
+    assert stats["files_before"] >= 16
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 10_000
+    after = sorted(r["image_id"] for r in spark.read.parquet(path).collect())
+    assert after == before  # content identical
+    assert open(f"{path}/_CONFIG_HASH").read() == "marker"  # sidecar survives
+
+
 def test_bucket_info_and_ls(spark, images_small):
     sigs = exact.signatures(images_small)
     info = {r["bucket"]: r for r in exact.bucket_info(sigs).collect()}
