@@ -93,16 +93,25 @@ def compact_stage(spark: SparkSession, path: str,
 
 class DedupPipeline:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        from dupers_spark.sources.storage import StageStore
+
         self.spark = spark
         self.cfg = cfg
         self.metrics: list[dict] = []
         self._input_fp = ""  # set by run(); folded into stage markers
+        # Iceberg when the runtime has it, parquet-dir fallback otherwise —
+        # identical overwrite/partition semantics either way (storage.py)
+        self.store = StageStore(spark, cfg.warehouse)
 
     # ------------------------------------------------------------ storage
     def _stage_dir(self, name: str) -> str:
         return os.path.join(self.cfg.warehouse, name)
 
     def _marker(self, name: str) -> str:
+        if self.store.use_iceberg:
+            d = os.path.join(self.cfg.warehouse, "_markers")
+            os.makedirs(d, exist_ok=True)
+            return os.path.join(d, name)
         return os.path.join(self._stage_dir(name), "_CONFIG_HASH")
 
     def _marker_value(self) -> str:
@@ -117,9 +126,8 @@ class DedupPipeline:
 
     def _write_stage(self, name: str, df: DataFrame) -> DataFrame:
         t0 = time.time()
-        path = self._stage_dir(name)
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
+        self.store.write(name, df)
+        out = self.store.read(name)
         rows = out.count()
         elapsed = time.time() - t0
         self.metrics.append(
@@ -130,7 +138,7 @@ class DedupPipeline:
         return out
 
     def _read_stage(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._stage_dir(name))
+        return self.store.read(name)
 
     def _stage(self, name: str, build) -> DataFrame:
         """Checkpoint-or-build: the resume primitive."""
@@ -255,4 +263,4 @@ class DedupPipeline:
             ],
             "stage string, rows long, seconds double, resumed boolean",
         )
-        mdf.write.mode("overwrite").parquet(self._stage_dir("metrics"))
+        self.store.write("metrics", mdf)

@@ -1,0 +1,95 @@
+"""Storage shim: Iceberg catalog when the runtime has it, parquet-directory
+fallback with the identical layout otherwise (SURVEY §7 "What's hard").
+
+The north_star frames stage tables as Iceberg; this sandbox ships no Iceberg
+jars, so every write goes through this module and the choice is a runtime
+probe, not a code path fork. Semantics kept identical:
+
+  * overwrite = atomic swap (Iceberg: snapshot replace; parquet: staged
+    directory rename)
+  * a stage "table" is addressed by name under a warehouse root
+  * partition columns map to partitionBy directories (identical layout to
+    an Iceberg identity-partitioned table)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is usable in this session."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:  # noqa: BLE001 — any failure means no Iceberg
+        return False
+
+
+class StageStore:
+    """Named stage tables under a warehouse root.
+
+    Iceberg mode uses `<catalog>.<namespace>.<name>` tables; parquet mode
+    uses `<warehouse>/<name>` directories. Both expose the same four ops.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 catalog: str = "spark_catalog", namespace: str = "dupers"):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.use_iceberg = iceberg_available(spark) and bool(
+            spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        )
+        self.catalog = catalog
+        self.namespace = namespace
+
+    # ------------------------------------------------------------ paths
+    def path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    # ------------------------------------------------------------- ops
+    def write(self, name: str, df: DataFrame,
+              partition_by: list[str] | None = None) -> None:
+        if self.use_iceberg:
+            w = df.writeTo(self._ident(name)).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        # parquet fallback: staged write + swap so a crash never leaves a
+        # half-written stage (the Iceberg-snapshot-replace equivalent)
+        final = self.path(name)
+        tmp = final + ".staging"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.read.parquet(self.path(name))
+
+    def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self._ident(name))
+        return os.path.exists(self.path(name))
+
+    def drop(self, name: str) -> None:
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
+            return
+        if os.path.exists(self.path(name)):
+            shutil.rmtree(self.path(name))

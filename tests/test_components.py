@@ -37,6 +37,21 @@ def test_long_path_converges(spark):
     assert len(comp) == n + 1
 
 
+def test_large_star_hub_component(spark):
+    """Hub safety: a star component with 50k members must converge without
+    materializing any per-node neighbor array (the min+join-back path) —
+    the shape that OOMed collect_set formulations at scale."""
+    n = 50_000
+    edges = spark.range(1, n).selectExpr(
+        "concat('m', lpad(cast(id as string), 6, '0')) AS a",
+        "'hub0' AS b",
+    )
+    assign = connected_components(edges, max_iter=10)
+    roots = assign.select("component_id").distinct().collect()
+    assert [r["component_id"] for r in roots] == ["hub0"]
+    assert assign.count() == n  # hub + n-1 members
+
+
 def test_with_singletons(spark):
     pairs = spark.createDataFrame([("a", "b")], ["a", "b"])
     allids = spark.createDataFrame([("a",), ("b",), ("z",)], ["image_id"])
