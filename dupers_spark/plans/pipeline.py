@@ -98,6 +98,7 @@ class DedupPipeline:
         self.spark = spark
         self.cfg = cfg
         self.metrics: list[dict] = []
+        self.lineage: list[dict] = []
         self._input_fp = ""  # set by run(); folded into stage markers
         # Iceberg when the runtime has it, parquet-dir fallback otherwise —
         # identical overwrite/partition semantics either way (storage.py)
@@ -133,6 +134,16 @@ class DedupPipeline:
         self.metrics.append(
             {"stage": name, "rows": rows, "seconds": round(elapsed, 3)}
         )
+        # lineage record: which config + input identity produced this stage
+        # (north_rule: per-stage lineage tables; makes any stage auditable
+        # and any resume decision explainable after the fact)
+        self.lineage.append({
+            "stage": name,
+            "config_hash": self.cfg.config_hash(),
+            "input_fp": self._input_fp,
+            "rows": rows,
+            "written_at": time.time(),
+        })
         with open(self._marker(name), "w") as fh:
             fh.write(self._marker_value())
         return out
@@ -264,3 +275,14 @@ class DedupPipeline:
             "stage string, rows long, seconds double, resumed boolean",
         )
         self.store.write("metrics", mdf)
+        if self.lineage:
+            ldf = self.spark.createDataFrame(
+                [
+                    (r["stage"], r["config_hash"], r["input_fp"],
+                     int(r["rows"]), float(r["written_at"]))
+                    for r in self.lineage
+                ],
+                "stage string, config_hash string, input_fp string, "
+                "rows long, written_at double",
+            )
+            self.store.write("lineage", ldf)

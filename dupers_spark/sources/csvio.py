@@ -58,13 +58,12 @@ def csv_import(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
         raise ValueError(f"invalid dupers CSV header: {lhs!r},{rhs!r}")
     bucket = rhs[len(HEADER_RHS_PREFIX):]
 
-    df = spark.read.option("header", True).csv(path)
-    digest_col = F.col(HEADER_LHS)
+    # rename positionally before any select: the rhs header embeds the
+    # bucket path, which may contain characters the column resolver would
+    # parse as syntax (dots, parens)
+    df = spark.read.option("header", True).csv(path).toDF("sha256", "rel")
     out = (
-        df.select(
-            digest_col.alias("sha256"),
-            F.col(df.columns[1]).alias("rel"),
-        )
+        df.select("sha256", "rel")
         .filter(F.col("sha256").rlike("^[0-9a-fA-F]{64}$"))
         .select(
             # genuine dupers CSVs keep a leading '/' on rel paths — trim it

@@ -59,6 +59,49 @@ def test_csv_import_drops_invalid_digests(spark):
         assert rows[0]["image_id"] == "bucket1/ok.png"
 
 
+def test_csv_export_bucket_with_regex_metachars(spark):
+    """Bucket names containing regex metacharacters must strip literally
+    (the reference uses strings.TrimPrefix, io.go:115)."""
+    bucket = "data (v1.2)+old"
+    sigs = spark.createDataFrame(
+        [(f"{bucket}/a.png", bucket, "ab" * 32)],
+        ["image_id", "bucket", "sha256"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "export")
+        csvio.csv_export(sigs, bucket, path)
+        back, b = csvio.csv_import(spark, path)
+        assert b == bucket
+        rows = back.collect()
+        assert rows[0]["image_id"] == f"{bucket}/a.png"
+
+
+def test_csv_import_trims_leading_slash_rel(spark):
+    """Genuine dupers CSVs keep a leading '/' on rel paths — import must
+    yield 'bucket/rel', never 'bucket//rel'."""
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "export")
+        os.makedirs(path)
+        with open(os.path.join(path, "part.csv"), "w") as fh:
+            fh.write("sha256_sum,path#bucketX\n")
+            fh.write(("ab" * 32) + ",/sub/f.png\n")
+        back, bucket = csvio.csv_import(spark, path)
+        assert bucket == "bucketX"
+        assert back.collect()[0]["image_id"] == "bucketX/sub/f.png"
+
+
+def test_backup_full_dump(spark):
+    sigs = spark.createDataFrame(
+        [("b1/a", "b1", "x"), ("b2/b", "b2", "y")], ["image_id", "bucket", "sha256"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        csvio.backup(sigs, td)
+        back = spark.read.parquet(os.path.join(td, "backup"))
+        assert {tuple(r) for r in back.collect()} == {
+            ("b1/a", "b1", "x"), ("b2/b", "b2", "y")
+        }
+
+
 def test_mv_rm_bucket(spark):
     sigs = spark.createDataFrame(
         [("b1/a", "b1", "x"), ("b2/b", "b2", "y")], ["image_id", "bucket", "sha256"]

@@ -77,10 +77,18 @@ def test_normal_mode_decodes_and_verifies(spark, images):
         assert a == b
 
 
-def test_metrics_table_written(spark, images):
+def test_metrics_and_lineage_tables_written(spark, images):
     with tempfile.TemporaryDirectory() as td:
         cfg = PipelineConfig(warehouse=os.path.join(td, "wh"))
-        DedupPipeline(spark, cfg).run(images)
+        p = DedupPipeline(spark, cfg)
+        p.run(images)
         m = spark.read.parquet(os.path.join(td, "wh", "metrics"))
         assert {"stage", "rows", "seconds", "resumed"} <= set(m.columns)
         assert m.count() >= 4
+        lin = spark.read.parquet(os.path.join(td, "wh", "lineage"))
+        rows = {r["stage"]: r for r in lin.collect()}
+        assert {"signatures", "exact_edges", "components"} <= set(rows)
+        for r in rows.values():
+            assert r["config_hash"] == cfg.config_hash()
+            assert r["input_fp"] == p._input_fp
+            assert r["rows"] >= 0
