@@ -297,7 +297,15 @@ def near_dup_edges(images: DataFrame, cfg: LSHConfig = LSHConfig(),
     durable pipeline (plans/pipeline.py) these are parquet/Iceberg stage
     tables instead — same dataflow.
     """
-    grouped = collapse_groups(images, id_col, text_col).localCheckpoint()
+    # Repartition the collapse output to a core-proportional count BEFORE
+    # checkpointing: AQE's small-partition coalescing (8MB advisory) shrinks
+    # the collapse shuffle to a handful of partitions — captions are tiny —
+    # and the downstream Arrow signature UDF + banding map stages inherit
+    # that partitioning, capping their parallelism at ~4 tasks no matter how
+    # many cores exist (measured: signature stage scaled 2× from 4→16 cores
+    # before this, ~4× after). The extra shuffle is 1 skinny row per rep.
+    par = images.sparkSession.sparkContext.defaultParallelism * 2
+    grouped = collapse_groups(images, id_col, text_col).repartition(par).localCheckpoint()
     star = star_edges(images, grouped, id_col, text_col)
     sigs = signatures(grouped.select("rep_id", "caption"), cfg).localCheckpoint()
     # band rows are consumed exactly once (single groupBy) — never cached

@@ -94,8 +94,12 @@ def phash_near_dup_edges(images: DataFrame, radius: int = 3,
     """
     # eager: both join sides + star consume the collapse output, and AQE
     # runs query stages concurrently — a lazy persist would recompute the
-    # collapse shuffle per branch (observed anti-scaling at 32 cores)
-    grouped = collapse_sig_groups(images, id_col, sig_col).localCheckpoint()
+    # collapse shuffle per branch (observed anti-scaling at 32 cores).
+    # Repartition first: AQE coalesces the tiny collapse shuffle to a few
+    # partitions and the block-explode map stage would inherit that cap
+    # (same fix as minhash_lsh.near_dup_edges).
+    par = images.sparkSession.sparkContext.defaultParallelism * 2
+    grouped = collapse_sig_groups(images, id_col, sig_col).repartition(par).localCheckpoint()
     reps = grouped.select("rep_id", "sig")
     star = (
         images.select(F.col(id_col).alias("member"), F.col(sig_col).alias("sig"))
