@@ -191,6 +191,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_part_name"] = search_part_name
 
+    def search_basename(spark, sf):
+        # basename-only match (CompareBase) on synthetic path ids
+        d = _docs(spark, sf)
+        paths = d.select(
+            F.concat(F.col("source"), F.lit("/doc_"),
+                     F.col("doc_id").cast("string"), F.lit(".txt")).alias("image_id"),
+            "doc_id",
+        )
+        return search.search_basename(paths, "doc_7", col="image_id").select("doc_id")
+
+    q["search_basename"] = search_basename
+
+    def search_exact_caption(spark, sf):
+        # -exact whole-string search: probe = doc 0's text (deterministic)
+        d = _docs(spark, sf)
+        probe = d.filter(F.col("doc_id") == 0).select("text").collect()[0][0]
+        return search.search_exact(d, probe, col="text").select("doc_id")
+
+    q["search_exact_caption"] = search_exact_caption
+
+    def delete_dupe_candidates(spark, sf):
+        # `dupe -delete` (M7): rows whose digest is already indexed, minus
+        # the exemplar itself
+        sigs = _docs_keyed(spark, sf).select(
+            F.col("doc_id").alias("image_id"), F.col("digest").alias("sha256")
+        )
+        return exact.delete_candidates(sigs, sigs)
+
+    q["delete_dupe_candidates"] = delete_dupe_candidates
+
+    def merge_upsert(spark, sf):
+        # KV upsert (A6/S6): every 5th row re-ingested with a new digest —
+        # incoming wins on id, others keep the old digest
+        sigs = _docs_keyed(spark, sf).select(
+            F.col("doc_id").alias("image_id"), F.col("digest").alias("sha256")
+        )
+        incoming = sigs.filter(F.col("image_id") % 5 == 0).withColumn(
+            "sha256", F.concat(F.lit("new:"), F.col("sha256"))
+        )
+        return exact.merge_signatures(sigs, incoming)
+
+    q["merge_upsert"] = merge_upsert
+
+    def mv_rm_buckets(spark, sf):
+        # bucket rename + drop (M3/M4) over synthetic path ids
+        from dupers_spark.sources import csvio
+
+        d = _docs(spark, sf)
+        sigs = d.select(
+            F.concat(F.col("source"), F.lit("/doc_"),
+                     F.col("doc_id").cast("string")).alias("image_id"),
+            F.col("source").alias("bucket"),
+            F.col("doc_id").cast("string").alias("sha256"),
+        )
+        buckets = sorted(r["source"] for r in d.select("source").distinct().collect())
+        moved = csvio.mv_bucket(sigs, buckets[0], "renamed_bucket")
+        return csvio.rm_bucket(moved, buckets[1])
+
+    q["mv_rm_buckets"] = mv_rm_buckets
+
     def search_suffix_array(spark, sf):
         """Suffix-array index result — must equal the contains-scan oracle."""
         idx = search.build_suffix_index(_docs(spark, sf), "doc_id", "text", shards=8)
@@ -492,6 +552,45 @@ def oracle_sql() -> dict[str, str]:
     """
     o["search_suffix_array"] = """
         SELECT doc_id FROM documents WHERE contains(text, 'merge join')
+    """
+
+    o["search_basename"] = """
+        SELECT doc_id FROM documents
+        WHERE contains('doc_' || CAST(doc_id AS VARCHAR) || '.txt', 'doc_7')
+    """
+
+    o["search_exact_caption"] = """
+        SELECT doc_id FROM documents
+        WHERE text = (SELECT text FROM documents WHERE doc_id = 0)
+    """
+
+    o["delete_dupe_candidates"] = f"""
+        WITH s AS ({keyed}),
+             ex AS (SELECT digest, min(doc_id) AS exemplar FROM s GROUP BY digest)
+        SELECT s.doc_id AS image_id, s.digest AS sha256
+        FROM s JOIN ex ON s.digest = ex.digest
+        WHERE s.doc_id <> ex.exemplar
+    """
+
+    o["merge_upsert"] = f"""
+        SELECT doc_id AS image_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'new:' || digest ELSE digest END AS sha256
+        FROM ({keyed})
+    """
+
+    o["mv_rm_buckets"] = """
+        WITH b AS (SELECT DISTINCT source FROM documents),
+             first_b AS (SELECT min(source) AS v FROM b),
+             second_b AS (SELECT min(source) AS v FROM b
+                          WHERE source > (SELECT v FROM first_b))
+        SELECT CASE WHEN source = (SELECT v FROM first_b)
+                    THEN 'renamed_bucket/doc_' || CAST(doc_id AS VARCHAR)
+                    ELSE source || '/doc_' || CAST(doc_id AS VARCHAR) END AS image_id,
+               CASE WHEN source = (SELECT v FROM first_b)
+                    THEN 'renamed_bucket' ELSE source END AS bucket,
+               CAST(doc_id AS VARCHAR) AS sha256
+        FROM documents
+        WHERE source <> (SELECT v FROM second_b)
     """
 
     o["cc_exact_groups"] = f"""
