@@ -155,13 +155,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bucket_info"] = bucket_info
 
     def sensen_delete(spark, sf):
-        # -sensen over a synthetic layout: dir = source, every 17th doc is
-        # an ".exe"; deletion set = all rows outside dirs holding a unique exe
+        # -sensen over a synthetic NESTED layout: top dir = source_g{doc%7},
+        # files sit one level down (sub{doc%3}/), every 51st doc is an
+        # ".exe". Reference semantics (dupe.go:314-373 + parse.go:267-295):
+        # a top dir is kept iff ANY exe exists anywhere beneath it; the
+        # deletion set is every row outside kept dirs.
         d = _docs_keyed(spark, sf)
         sigs = d.select(
             F.concat(
-                F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"),
-                F.when(F.col("doc_id") % 17 == 0, F.lit(".exe")).otherwise(F.lit(".txt")),
+                F.col("source"), F.lit("_g"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("/sub"), (F.col("doc_id") % 3).cast("string"),
+                F.lit("/doc_"), F.col("doc_id").cast("string"),
+                F.when(F.col("doc_id") % 51 == 0, F.lit(".exe")).otherwise(F.lit(".txt")),
             ).alias("image_id"),
             F.col("digest").alias("sha256"),
         )
@@ -185,7 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_contains_nocase"] = search_contains_nocase
 
     def search_part_name(spark, sf):
-        return search.search_contains(_part(spark, sf), "green", col="p_name").select(
+        return search.search_contains(_part(spark, sf), "red", col="p_name").select(
             "p_partkey", "p_name"
         )
 
@@ -310,7 +315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_poly"] = minhash_poly
 
     def ngram_jaccard(spark, sf):
-        return dedup_text.ngram_jaccard_pairs(_docs(spark, sf), k=3, threshold=0.2)[0]
+        # max_df=None: exact semantics for the value oracle (the production
+        # default keeps the document-frequency flood guard ON)
+        return dedup_text.ngram_jaccard_pairs(
+            _docs(spark, sf), k=3, threshold=0.2, max_df=None
+        )[0]
 
     q["ngram_jaccard"] = ngram_jaccard
 
@@ -347,8 +356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def embedding_near_dups(spark, sf):
         # EXACT all-pairs variant (oracle-checkable); the SRP-bucketed
-        # approximate path is pytest-gated instead (tests/test_ann.py)
-        out = ann.cosine_pairs_exact(_emb(spark, sf), threshold=0.6)
+        # approximate path is pytest-gated instead (tests/test_ann.py).
+        # threshold 0.3: the sf corpora are near-random (top cos ≈ 0.51 at
+        # sf0.01), so 0.3 yields ~1k real pairs for the value hash to bite on
+        out = ann.cosine_pairs_exact(_emb(spark, sf), threshold=0.3)
         return out.select("a", "b", F.round("cos", 5).alias("cos"))
 
     q["embedding_near_dups"] = embedding_near_dups
@@ -529,14 +540,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["sensen_delete"] = f"""
         WITH s AS (
-          SELECT source || '/doc_' || CAST(doc_id AS VARCHAR)
-                   || (CASE WHEN doc_id % 17 = 0 THEN '.exe' ELSE '.txt' END) AS image_id,
-                 source AS dir, {_KEY_SQL} AS sha256,
-                 (doc_id % 17 = 0) AS is_exe
+          SELECT source || '_g' || CAST(doc_id % 7 AS VARCHAR)
+                   || '/sub' || CAST(doc_id % 3 AS VARCHAR)
+                   || '/doc_' || CAST(doc_id AS VARCHAR)
+                   || (CASE WHEN doc_id % 51 = 0 THEN '.exe' ELSE '.txt' END) AS image_id,
+                 source || '_g' || CAST(doc_id % 7 AS VARCHAR) AS dir,
+                 {_KEY_SQL} AS sha256,
+                 (doc_id % 51 = 0) AS is_exe
           FROM documents),
-        cnts AS (SELECT sha256, count(*) AS cnt FROM s GROUP BY sha256),
-        keep AS (SELECT DISTINCT dir FROM s JOIN cnts USING (sha256)
-                 WHERE is_exe AND cnt = 1)
+        keep AS (SELECT DISTINCT dir FROM s WHERE is_exe)
         SELECT image_id, sha256 FROM s
         WHERE dir NOT IN (SELECT dir FROM keep)
     """
@@ -548,7 +560,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM documents WHERE contains(lower(text), lower('MERGE JOIN'))
     """
     o["search_part_name"] = """
-        SELECT p_partkey, p_name FROM part WHERE contains(p_name, 'green')
+        SELECT p_partkey, p_name FROM part WHERE contains(p_name, 'red')
     """
     o["search_suffix_array"] = """
         SELECT doc_id FROM documents WHERE contains(text, 'merge join')
@@ -742,7 +754,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.vec_id AS a, r.vec_id AS b,
                round({dot} / ({nrm.format(side='l')} * {nrm.format(side='r')}), 5) AS cos
         FROM c l JOIN c r ON l.vec_id < r.vec_id
-        WHERE {dot} / ({nrm.format(side='l')} * {nrm.format(side='r')}) >= 0.6
+        WHERE {dot} / ({nrm.format(side='l')} * {nrm.format(side='r')}) >= 0.3
     """
 
     o["events_windowed"] = """

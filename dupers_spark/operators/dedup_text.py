@@ -29,7 +29,7 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_df: int | None = None,
+                        max_df: int | None = 1000,
                         ) -> tuple[DataFrame, DataFrame]:
     """Word-k-gram Jaccard pairs via shingle inverted index →
     (pairs(a, b, jaccard), dropped_shingles(shingle, df)).
@@ -44,8 +44,10 @@ def ngram_jaccard_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
     excluded from the join and returned in the accounting DF — this makes
     `common` a lower bound for pairs sharing dropped shingles (Jaccard
     denominators still use the TRUE per-doc sizes), i.e. capped recall
-    loss, never quadratic blowup. max_df=None keeps the exact semantics
-    (the oracle-checked configuration).
+    loss, never quadratic blowup. The guard is ON by default (a naive
+    caller at web scale must not get the 10¹²-row blowup); pass
+    max_df=None explicitly for exact semantics (the oracle-checked
+    configuration does).
     """
     sh = df.select(
         F.col(id_col).alias("id"),

@@ -2,7 +2,8 @@
 
 Reference behavior reimplemented (citations into /root/reference):
   * content digest = SHA-256 of the raw bytes        (pkg/dupe/parse/parse.go:217-231)
-  * zero-byte payloads are never indexed             (pkg/dupe/dupe.go:142-144)
+  * empty payloads index under sha256('') — only an
+    all-zero checksum is rejected                    (pkg/dupe/dupe.go:142-144)
   * a row is never its own duplicate                 (pkg/dupe/dupe.go:1059-1061)
   * one exemplar per digest, map-insert semantics
     → we use deterministic min(image_id)             (pkg/dupe/parse/parse.go:31,113-115)
@@ -178,24 +179,32 @@ def parent_dir(id_col: Column | str = "image_id") -> Column:
     ).otherwise(F.lit(""))
 
 
+def top_segment(id_col: Column | str = "image_id") -> Column:
+    """First path segment ('' for ids with no '/') — the unit delDirsExcept
+    iterates over (os.ReadDir of the source root, dupe.go:344-353)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.when(c.contains("/"), F.substring_index(c, "/", 1)).otherwise(F.lit(""))
+
+
 def sensen_delete(sigs: DataFrame) -> DataFrame:
     """`dupers dupe -sensen`: rows to DELETE — everything in the source
-    except directories containing at least one UNIQUE MS-DOS/Windows
-    program (dupe.go:314-373 DelDirsExcept + parse.go:288-295).
+    except top-level directories containing at least one MS-DOS/Windows
+    program ANYWHERE beneath them (dupe.go:314-373 delDirsExcept +
+    parse.go:267-295 Executable, a recursive WalkDir that stops at the
+    first .com/.exe — no uniqueness condition, extension check only).
 
-    Table model: directory = id prefix up to the last '/'; a directory is
-    kept iff it holds an executable whose digest appears exactly once in
-    sigs; top-level files (no directory) are always deleted. Two primitive
-    groupBys + one anti-join — no object aggregation.
+    Table model: the kept unit is the top-level source entry (first path
+    segment); a top dir is kept iff any row under it is an executable;
+    top-level files (no '/') are always removed (dupe.go:349-353). One
+    projection + one distinct + one anti-join — no object aggregation,
+    and the anti-join key (top segment) is low-cardinality → broadcast.
     """
     with_dir = sigs.select(
-        "image_id", "sha256", parent_dir("image_id").alias("dir"),
+        "image_id", "sha256", top_segment("image_id").alias("dir"),
         is_executable_id("image_id").alias("is_exe"),
     )
-    digest_counts = with_dir.groupBy("sha256").agg(F.count("*").alias("cnt"))
     keep_dirs = (
-        with_dir.join(digest_counts, "sha256")
-        .filter(F.col("is_exe") & (F.col("cnt") == 1) & (F.col("dir") != ""))
+        with_dir.filter(F.col("is_exe") & (F.col("dir") != ""))
         .select("dir")
         .distinct()
     )

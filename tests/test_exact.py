@@ -81,25 +81,26 @@ def test_clean_left_semi(spark, images_small):
     assert cleaned.filter(F.col("image_id") < "img_00000100").count() == 0
 
 
-def test_sensen_delete_keeps_unique_exe_dirs(spark):
-    """-sensen (dupe.go:314-373): delete everything except directories
-    holding a UNIQUE .com/.exe; top-level files always deleted."""
+def test_sensen_delete_keeps_exe_dirs(spark):
+    """-sensen (dupe.go:314-373 delDirsExcept + parse.go:267-295): the unit
+    is the TOP-LEVEL source entry; a top dir is kept iff any .com/.exe
+    exists anywhere beneath it (recursive walk, extension check only — a
+    duplicated exe still keeps its dir); top-level files always deleted."""
     sigs = spark.createDataFrame(
         [
-            ("games/doom/DOOM.EXE", "h1"),       # unique exe → dir kept
-            ("games/doom/readme.txt", "h2"),     # asset in kept dir
-            ("games/copy/doom2.exe", "h3"),      # dup exe (h3 twice) → not unique
-            ("other/doom2.exe", "h3"),
+            ("games/doom/DOOM.EXE", "h1"),       # exe → 'games' kept
+            ("games/doom/readme.txt", "h2"),     # asset in kept top dir
+            ("games/copy/doom2.exe", "h3"),      # dup digest — still keeps
+            ("other/doom2.exe", "h3"),           # 'other' kept (dup exe ok)
+            ("assets/a/readme.txt", "h6"),       # ancestor of a NESTED exe
+            ("assets/a/b/c/game.com", "h7"),     #   → 'assets' kept whole
             ("docs/notes.txt", "h4"),            # no exe → deleted
             ("toplevel.exe", "h5"),              # top-level file → deleted
         ],
         ["image_id", "sha256"],
     )
     doomed = {r["image_id"] for r in exact.sensen_delete(sigs).collect()}
-    assert doomed == {
-        "games/copy/doom2.exe", "other/doom2.exe",
-        "docs/notes.txt", "toplevel.exe",
-    }
+    assert doomed == {"docs/notes.txt", "toplevel.exe"}
 
 
 def test_compact_stage_reduces_files(spark, tmp_path):

@@ -92,9 +92,16 @@ def test_ngram_jaccard_pairs(spark):
         ],
         ["doc_id", "text"],
     )
+    # default path: the df-cap guard is ON (max_df=1000) but far above any
+    # df here, so the result equals exact semantics with zero drops
     pairs, dropped = dedup_text.ngram_jaccard_pairs(df, k=3, threshold=0.5)
     assert {(p["a"], p["b"]) for p in pairs.collect()} == {(0, 1)}
-    assert dropped.count() == 0  # no cap requested → exact semantics
+    assert dropped.count() == 0
+    # explicit opt-out keeps exact semantics (the oracle configuration)
+    pairs_exact, _ = dedup_text.ngram_jaccard_pairs(
+        df, k=3, threshold=0.5, max_df=None
+    )
+    assert {(p["a"], p["b"]) for p in pairs_exact.collect()} == {(0, 1)}
 
 
 def test_ngram_jaccard_df_cap_bounds_flood(spark):
