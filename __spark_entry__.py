@@ -256,6 +256,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mv_rm_buckets"] = mv_rm_buckets
 
+    def csv_roundtrip(spark, sf):
+        # S7/S8 (+T5 hex validation, T8 prefix strip) as one value-checked
+        # op: export the min bucket in dupers CSV interchange format, read
+        # it back, return the restored signature rows — oracle = identity
+        # over that bucket (a lossless round trip IS the export contract,
+        # io.go:88-123 / csv.go:79-112)
+        import tempfile
+
+        from dupers_spark.sources import csvio
+
+        d = _docs_keyed(spark, sf)
+        sigs = d.select(
+            F.concat(F.col("source"), F.lit("/doc_"),
+                     F.col("doc_id").cast("string")).alias("image_id"),
+            F.col("source").alias("bucket"),
+            F.col("digest").alias("sha256"),
+        )
+        bucket = sigs.agg(F.min("bucket")).collect()[0][0]
+        path = os.path.join(tempfile.gettempdir(), "dupers_csv_roundtrip",
+                            sf.strip("/").replace("/", "_"))
+        csvio.csv_export(sigs, bucket, path)
+        restored, _b = csvio.csv_import(spark, path)
+        return restored
+
+    q["csv_roundtrip"] = csv_roundtrip
+
+    def pipeline_components_e2e(spark, sf):
+        # Flagship DedupPipeline end-to-end (fast mode) over a deterministic
+        # docs-as-images projection. Keys are NESTED so the exact closure is
+        # SQL-expressible: bytes = first-2-words (exact digest groups),
+        # caption = first-3-words (subset of digest groups), phash =
+        # xxhash64(first-2-words) (identical partition as digest) — so the
+        # union edge graph's components are exactly the first-2-words
+        # groups, which DuckDB reproduces without recursion.
+        import shutil
+        import tempfile
+
+        from dupers_spark.plans.pipeline import DedupPipeline, PipelineConfig
+
+        d = _docs(spark, sf)
+        first2 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2))
+        first3 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+        images = d.select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            F.encode(first2, "utf-8").alias("bytes"),
+            first3.alias("caption"),
+            F.xxhash64(first2).alias("phash"),
+        )
+        wh = os.path.join(tempfile.gettempdir(), "dupers_e2e_wh",
+                          sf.strip("/").replace("/", "_"))
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        pipe = DedupPipeline(spark, PipelineConfig(warehouse=wh, fast=True))
+        return pipe.run(images).select("image_id", "component_id")
+
+    q["pipeline_components_e2e"] = pipeline_components_e2e
+
     def search_suffix_array(spark, sf):
         """Suffix-array index result — must equal the contains-scan oracle."""
         idx = search.build_suffix_index(_docs(spark, sf), "doc_id", "text", shards=8)
@@ -603,6 +660,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(doc_id AS VARCHAR) AS sha256
         FROM documents
         WHERE source <> (SELECT v FROM second_b)
+    """
+
+    o["csv_roundtrip"] = f"""
+        WITH b AS (SELECT min(source) AS v FROM documents)
+        SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS image_id,
+               source AS bucket, {_KEY_SQL} AS sha256
+        FROM documents WHERE source = (SELECT v FROM b)
+    """
+
+    o["pipeline_components_e2e"] = """
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                 array_to_string((string_split(text, ' '))[1:2], ' ') AS k
+          FROM documents),
+        grp AS (SELECT k, min(image_id) AS root FROM s GROUP BY k)
+        SELECT s.image_id, grp.root AS component_id
+        FROM s JOIN grp USING (k)
     """
 
     o["cc_exact_groups"] = f"""

@@ -1,0 +1,422 @@
+"""Minimal 7z reader/writer on stdlib ``lzma`` — closes the last sliver of
+dupers' `up+` archive support (S4): the reference reads 7z members via a
+dedicated reader (pkg/dupe/dupe.go:648-693 read7Zip; format table
+pkg/dupe/internal/archive/archive.go:42-68). This container ships no py7zr
+and no 7z binary, so this module implements the subset of the public 7z
+container format (7zFormat.txt, LZMA SDK) needed to hash members:
+
+  reader: non-encoded headers; folders with ONE coder that is Copy (store),
+          LZMA2, or LZMA1; multiple folders; substream splitting; empty
+          files/streams. Encoded (kEncodedHeader) or multi-coder archives
+          raise ``Unsupported7z`` — the archive operator surfaces that as an
+          accounted error row, never a silent skip.
+  writer: one folder per member, Copy or LZMA2 (for round-trip tests and
+          for emitting interchange archives without external tools).
+
+Everything here is pure CPU over in-memory bytes — it runs inside the same
+Arrow-batched mapInPandas explode as the zip/tar readers (operators/
+archive.py), one archive per row, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import lzma
+import struct
+
+SIGNATURE = b"7z\xbc\xaf\x27\x1c"
+
+# property ids (7zFormat.txt)
+K_END = 0x00
+K_HEADER = 0x01
+K_MAIN_STREAMS = 0x04
+K_FILES_INFO = 0x05
+K_PACK_INFO = 0x06
+K_UNPACK_INFO = 0x07
+K_SUBSTREAMS_INFO = 0x08
+K_SIZE = 0x09
+K_CRC = 0x0A
+K_FOLDER = 0x0B
+K_CODERS_UNPACK_SIZE = 0x0C
+K_NUM_UNPACK_STREAM = 0x0D
+K_EMPTY_STREAM = 0x0E
+K_EMPTY_FILE = 0x0F
+K_NAME = 0x11
+K_ENCODED_HEADER = 0x17
+
+CODER_COPY = b"\x00"
+CODER_LZMA2 = b"\x21"
+CODER_LZMA1 = b"\x03\x01\x01"
+
+
+class Unsupported7z(ValueError):
+    """Valid 7z container using a feature outside the supported subset."""
+
+
+class Bad7z(ValueError):
+    """Not a (well-formed) 7z container."""
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def byte(self) -> int:
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def bytes_(self, n: int) -> bytes:
+        out = self.data[self.pos: self.pos + n]
+        if len(out) != n:
+            raise Bad7z("truncated 7z header")
+        self.pos += n
+        return out
+
+    def number(self) -> int:
+        """7z variable-length number (7zFormat.txt ReadNumber)."""
+        first = self.byte()
+        mask = 0x80
+        value = 0
+        for i in range(8):
+            if (first & mask) == 0:
+                value |= (first & (mask - 1)) << (8 * i)
+                return value
+            value |= self.byte() << (8 * i)
+            mask >>= 1
+        return value
+
+    def bits(self, n: int) -> list[bool]:
+        out = []
+        b = 0
+        avail = 0
+        for _ in range(n):
+            if avail == 0:
+                b = self.byte()
+                avail = 8
+            out.append(bool(b & 0x80))
+            b = (b << 1) & 0xFF
+            avail -= 1
+        return out
+
+    def bits_or_all(self, n: int) -> list[bool]:
+        """BitVector preceded by allAreDefined byte."""
+        if self.byte():
+            return [True] * n
+        return self.bits(n)
+
+
+def _decode_folder_coder(coder_id: bytes, props: bytes, packed: bytes,
+                         unpack_size: int) -> bytes:
+    if coder_id == CODER_COPY:
+        return packed[:unpack_size]
+    if coder_id == CODER_LZMA2:
+        filt = lzma._decode_filter_properties(lzma.FILTER_LZMA2, props)
+        dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
+        return dec.decompress(packed, max_length=unpack_size)
+    if coder_id == CODER_LZMA1:
+        filt = lzma._decode_filter_properties(lzma.FILTER_LZMA1, props)
+        dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
+        return dec.decompress(packed, max_length=unpack_size)
+    raise Unsupported7z(f"7z coder {coder_id.hex()} unsupported "
+                        "(supported: copy, lzma, lzma2)")
+
+
+def read_7z(data: bytes) -> list[tuple[str, bytes]]:
+    """→ [(member_name, member_bytes)] in archive order.
+
+    Raises Bad7z on malformed input, Unsupported7z on valid-but-exotic
+    archives (encoded header, multi-coder folders, external streams).
+    """
+    if data[:6] != SIGNATURE:
+        raise Bad7z("missing 7z signature")
+    if len(data) < 32:
+        raise Bad7z("truncated 7z")
+    next_off, next_size = struct.unpack("<QQ", data[12:28])
+    hdr_start = 32 + next_off
+    header = data[hdr_start: hdr_start + next_size]
+    if len(header) != next_size:
+        raise Bad7z("truncated 7z end header")
+    if not header:
+        return []
+    r = _Reader(header)
+    tid = r.number()
+    if tid == K_ENCODED_HEADER:
+        raise Unsupported7z("7z encoded (compressed) header unsupported")
+    if tid != K_HEADER:
+        raise Bad7z(f"unexpected 7z header id {tid:#x}")
+
+    pack_sizes: list[int] = []
+    pack_pos = 0
+    folders: list[dict] = []
+    num_unpack_streams: list[int] = []
+    substream_sizes: list[int] | None = None
+
+    tid = r.number()
+    if tid == K_MAIN_STREAMS:
+        tid = r.number()
+        if tid == K_PACK_INFO:
+            pack_pos = r.number()
+            n_pack = r.number()
+            while True:
+                t = r.number()
+                if t == K_END:
+                    break
+                if t == K_SIZE:
+                    pack_sizes = [r.number() for _ in range(n_pack)]
+                elif t == K_CRC:
+                    defined = r.bits_or_all(n_pack)
+                    r.bytes_(4 * sum(defined))
+                else:
+                    raise Bad7z(f"unexpected id {t:#x} in PackInfo")
+            tid = r.number()
+        if tid == K_UNPACK_INFO:
+            if r.number() != K_FOLDER:
+                raise Bad7z("UnpackInfo without kFolder")
+            n_folders = r.number()
+            if r.byte() != 0:
+                raise Unsupported7z("external folder definitions unsupported")
+            for _ in range(n_folders):
+                n_coders = r.number()
+                if n_coders != 1:
+                    raise Unsupported7z("multi-coder 7z folders unsupported")
+                flags = r.byte()
+                cid = r.bytes_(flags & 0x0F)
+                if flags & 0x10:  # complex coder
+                    raise Unsupported7z("complex 7z coders unsupported")
+                props = r.bytes_(r.number()) if flags & 0x20 else b""
+                folders.append({"coder": cid, "props": props})
+            if r.number() != K_CODERS_UNPACK_SIZE:
+                raise Bad7z("missing kCodersUnpackSize")
+            for f in folders:
+                f["unpack_size"] = r.number()  # 1 coder → 1 out stream
+            while True:
+                t = r.number()
+                if t == K_END:
+                    break
+                if t == K_CRC:
+                    defined = r.bits_or_all(len(folders))
+                    r.bytes_(4 * sum(defined))
+                else:
+                    raise Bad7z(f"unexpected id {t:#x} in UnpackInfo")
+            tid = r.number()
+        if tid == K_SUBSTREAMS_INFO:
+            t = r.number()
+            if t == K_NUM_UNPACK_STREAM:
+                num_unpack_streams = [r.number() for _ in folders]
+                t = r.number()
+            else:
+                num_unpack_streams = [1] * len(folders)
+            if t == K_SIZE:
+                # sizes for all but the LAST substream of each folder
+                substream_sizes = []
+                for f, cnt in zip(folders, num_unpack_streams):
+                    given = [r.number() for _ in range(cnt - 1)]
+                    substream_sizes.extend(given + [f["unpack_size"] - sum(given)])
+                t = r.number()
+            if t == K_CRC:
+                total = sum(num_unpack_streams)
+                defined = r.bits_or_all(total)
+                r.bytes_(4 * sum(defined))
+                t = r.number()
+            if t != K_END:
+                raise Bad7z(f"unexpected id {t:#x} in SubStreamsInfo")
+            tid = r.number()
+        if tid != K_END:
+            raise Bad7z(f"unexpected id {tid:#x} in MainStreamsInfo")
+        tid = r.number()
+    if not num_unpack_streams:
+        num_unpack_streams = [1] * len(folders)
+    if substream_sizes is None:
+        substream_sizes = [f["unpack_size"] for f in folders
+                           for _ in range(1)]  # 1 substream per folder
+
+    names: list[str] = []
+    empty_stream: list[bool] = []
+    empty_file: list[bool] = []
+    n_files = 0
+    if tid == K_FILES_INFO:
+        n_files = r.number()
+        empty_stream = [False] * n_files
+        while True:
+            t = r.number()
+            if t == K_END:
+                break
+            size = r.number()
+            end = r.pos + size
+            if t == K_EMPTY_STREAM:
+                empty_stream = r.bits(n_files)
+            elif t == K_EMPTY_FILE:
+                empty_file = r.bits(sum(empty_stream))
+            elif t == K_NAME:
+                if r.byte() != 0:
+                    raise Unsupported7z("external 7z names unsupported")
+                raw = r.bytes_(end - r.pos)
+                names = raw.decode("utf-16-le").split("\x00")[:-1]
+            r.pos = end
+        tid = r.number()
+    if tid != K_END:
+        raise Bad7z(f"unexpected trailing id {tid:#x} in header")
+    if names and len(names) != n_files:
+        raise Bad7z("7z name count mismatch")
+
+    # decode folders → concatenated unpacked payload per folder
+    if len(pack_sizes) != len(folders):
+        # 1 coder/folder ⇒ 1 pack stream/folder in the supported subset
+        raise Unsupported7z("pack-stream/folder mismatch (bound streams?)")
+    payloads: list[bytes] = []
+    off = 32 + pack_pos
+    for f, psize in zip(folders, pack_sizes):
+        packed = data[off: off + psize]
+        if len(packed) != psize:
+            raise Bad7z("truncated 7z pack stream")
+        off += psize
+        out = _decode_folder_coder(f["coder"], f["props"], packed,
+                                   f["unpack_size"])
+        if len(out) != f["unpack_size"]:
+            raise Bad7z("7z folder decoded to wrong size")
+        payloads.append(out)
+
+    # split folder payloads into substreams, assign to non-empty files
+    streams: list[bytes] = []
+    si = 0
+    for fi, cnt in enumerate(num_unpack_streams):
+        pos = 0
+        for _ in range(cnt):
+            sz = substream_sizes[si]
+            streams.append(payloads[fi][pos: pos + sz])
+            pos += sz
+            si += 1
+
+    members: list[tuple[str, bytes]] = []
+    stream_it = iter(streams)
+    empty_it = iter(empty_file or [])
+    for i in range(n_files):
+        name = names[i] if names else f"member_{i}"
+        if empty_stream[i]:
+            # empty stream: file content b'' if kEmptyFile bit set, else a
+            # directory entry — skip directories like the zip/tar readers
+            is_file = next(empty_it, False)
+            if is_file:
+                members.append((name, b""))
+            continue
+        members.append((name, next(stream_it)))
+    return members
+
+
+# --------------------------------------------------------------- writer
+
+class _Writer:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+
+    def byte(self, b: int) -> None:
+        self.buf.append(b)
+
+    def bytes_(self, b: bytes) -> None:
+        self.buf.extend(b)
+
+    def number(self, value: int) -> None:
+        """Inverse of _Reader.number — shortest encoding.
+
+        i extra little-endian low bytes + (7-i) high bits in the first
+        byte behind i leading 1-bits; capacity at i bytes is 7i+7 bits.
+        """
+        for i in range(9):
+            if i == 8:
+                self.buf.append(0xFF)
+                self.buf.extend(value.to_bytes(8, "little"))
+                return
+            if value < (1 << (7 * i + 7)):
+                lead = (0xFF << (8 - i)) & 0xFF
+                self.buf.append(lead | (value >> (8 * i)))
+                self.buf.extend((value & ((1 << (8 * i)) - 1)).to_bytes(i, "little"))
+                return
+
+
+def write_7z(members: list[tuple[str, bytes]], compress: bool = False) -> bytes:
+    """Store-only (or LZMA2) 7z archive: one folder per non-empty member.
+
+    Subset writer for round-trip tests and tool-free interchange; readable
+    by any conforming 7z implementation (plain header, single Copy/LZMA2
+    coder per folder, explicit names, no CRCs).
+    """
+    packs: list[bytes] = []
+    folders: list[tuple[bytes, bytes, int]] = []  # (coder_id, props, usize)
+    non_empty = [(n, b) for n, b in members if b]
+    for _name, blob in non_empty:
+        if compress:
+            spec = {"id": lzma.FILTER_LZMA2, "preset": 6}
+            props = lzma._encode_filter_properties(spec)
+            comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[spec])
+            packed = comp.compress(blob) + comp.flush()
+            folders.append((CODER_LZMA2, props, len(blob)))
+        else:
+            packed = blob
+            folders.append((CODER_COPY, b"", len(blob)))
+        packs.append(packed)
+
+    w = _Writer()
+    w.number(K_HEADER)
+    if folders:
+        w.number(K_MAIN_STREAMS)
+        w.number(K_PACK_INFO)
+        w.number(0)                      # pack pos
+        w.number(len(packs))
+        w.number(K_SIZE)
+        for p in packs:
+            w.number(len(p))
+        w.number(K_END)
+        w.number(K_UNPACK_INFO)
+        w.number(K_FOLDER)
+        w.number(len(folders))
+        w.byte(0)                        # not external
+        for cid, props, _us in folders:
+            w.number(1)                  # one coder per folder
+            flags = len(cid) | (0x20 if props else 0)
+            w.byte(flags)
+            w.bytes_(cid)
+            if props:
+                w.number(len(props))
+                w.bytes_(props)
+        w.number(K_CODERS_UNPACK_SIZE)
+        for _cid, _props, us in folders:
+            w.number(us)
+        w.number(K_END)
+        w.number(K_END)
+    # FilesInfo: all members (empty ones flagged via kEmptyStream+kEmptyFile)
+    w.number(K_FILES_INFO)
+    w.number(len(members))
+    empties = [not b for _n, b in members]
+    if any(empties):
+        bits = bytearray((len(members) + 7) // 8)
+        for i, e in enumerate(empties):
+            if e:
+                bits[i // 8] |= 0x80 >> (i % 8)
+        w.number(K_EMPTY_STREAM)
+        w.number(len(bits))
+        w.bytes_(bytes(bits))
+        n_empty = sum(empties)
+        fbits = bytearray((n_empty + 7) // 8)
+        for i in range(n_empty):         # every empty stream is a FILE here
+            fbits[i // 8] |= 0x80 >> (i % 8)
+        w.number(K_EMPTY_FILE)
+        w.number(len(fbits))
+        w.bytes_(bytes(fbits))
+    names_blob = bytearray([0])          # not external
+    for n, _b in members:
+        names_blob += n.encode("utf-16-le") + b"\x00\x00"
+    w.number(K_NAME)
+    w.number(len(names_blob))
+    w.bytes_(bytes(names_blob))
+    w.number(K_END)                      # end FilesInfo property loop
+    w.number(K_END)                      # end Header
+
+    header = bytes(w.buf)
+    body = b"".join(packs)
+    import zlib
+
+    start_hdr = struct.pack("<QQI", len(body), len(header),
+                            zlib.crc32(header))
+    sig = SIGNATURE + b"\x00\x04" + struct.pack("<I", zlib.crc32(start_hdr))
+    return sig + start_hdr + body + header

@@ -9,9 +9,10 @@ Reference behavior reimplemented (citations into /root/reference):
   * format is determined by CONTENT sniffing, not extension
     (pkg/dupe/internal/archive/archive.go:117-126 ReadMIME,
     :130-153 configure) — a lying extension is re-sniffed
-  * supported formats table (archive.go:42-68): zip, tar, gzip, bzip2, xz;
-    7z is recognized but needs a dedicated reader — we surface it as an
-    explicit unsupported-format row rather than a silent skip
+  * supported formats table (archive.go:42-68): zip, tar, gzip, bzip2, xz,
+    and 7z (plain-header copy/LZMA/LZMA2 archives via the minimal stdlib
+    reader in functions/sevenzip.py; exotic 7z variants surface as explicit
+    accounted error rows rather than silent skips)
 
 Spark shape: ONE mapInPandas explode over (archive_id, bytes) rows — each
 Arrow batch opens its archives with stdlib zipfile/tarfile/gzip/bz2/lzma
@@ -115,7 +116,14 @@ def _iter_members(archive_id: str, data: bytes):
         yield base, decomp
         return
     if fmt == "7z":
-        raise ValueError("7z recognized but unsupported (no stdlib reader)")
+        # minimal stdlib reader (functions/sevenzip.py): plain headers with
+        # copy/LZMA/LZMA2 folders — the common cases; exotic archives
+        # (encoded headers, BCJ chains) raise and become accounted error
+        # rows. Reference reads 7z via a dedicated lib (dupe.go:648-693).
+        from dupers_spark.functions.sevenzip import read_7z
+
+        yield from read_7z(data)
+        return
     raise ValueError(f"not a supported archive (sniffed: {fmt})")
 
 

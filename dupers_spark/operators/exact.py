@@ -103,17 +103,26 @@ def first_exemplar(sigs: DataFrame) -> DataFrame:
     return sigs.groupBy("sha256").agg(F.min("image_id").alias("exemplar"))
 
 
-def probe_matches(probe: DataFrame, index: DataFrame) -> DataFrame:
+def probe_matches(probe: DataFrame, index: DataFrame,
+                  broadcast_index: bool = False) -> DataFrame:
     """The flagship `dupers dupe <source> [buckets...]` check (J1/J2).
 
     probe, index: signature-shaped DataFrames. Returns
     (image_id, sha256, exemplar[, bucket]) — one row per probe row whose
     digest exists in the index, matched to the index's single exemplar,
     excluding self-matches (dupe.go:1059-1061).
+
+    broadcast_index=True hints the exemplar map (and bucket map) to every
+    executor, skipping the probe-side exchange entirely — the reference's
+    `-fast` mode holds the whole Compare map in memory (dupe.go:919-931),
+    and its 213k files/s anecdote is exactly this shape. Use when the
+    index is bounded (≲ tens of MB of digests); leave False to let AQE
+    pick shuffle-vs-broadcast from runtime stats at real scale.
     """
-    exemplars = first_exemplar(index)
+    hint = F.broadcast if broadcast_index else (lambda df: df)
+    exemplars = hint(first_exemplar(index))
     bucket_side = (
-        index.groupBy("sha256").agg(F.min("bucket").alias("bucket"))
+        hint(index.groupBy("sha256").agg(F.min("bucket").alias("bucket")))
         if "bucket" in index.columns
         else None
     )

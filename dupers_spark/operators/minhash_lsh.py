@@ -140,17 +140,35 @@ def band_buckets(sigs: DataFrame, cfg: LSHConfig = LSHConfig()) -> DataFrame:
     ).select("rep_id", "band", "key")
 
 
-def _gen_pairs_sorted(max_bucket: int):
-    """mapInPandas generator over (band, key, rep_id) rows that are
+def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
+                      max_depth: int = 4):
+    """mapInPandas generator over (band, key, rep_id[, sig]) rows that are
     repartitioned AND sorted by (band, key): emits candidate pairs per
     bucket and dropped-bucket accounting rows in one Arrow pass.
 
     Groups may straddle Arrow batches within a partition — a carry buffer
     holds the trailing (possibly incomplete) group between batches. Groups
     never straddle partitions (hash repartition on the group key).
+
+    radius=None (LSH banding): buckets above max_bucket are dropped with
+    accounting — band keys carry no residual structure to refine on.
+
+    radius=r (Hamming pigeonhole, sig column required): an oversized
+    (blk, val) bucket is NOT dropped — its members are re-pigeonholed on
+    the sig bits outside every block used so far, split into r+1
+    sub-blocks. Any true pair in the bucket agrees on all used bits and
+    differs ≤ r overall, hence ≤ r on the remaining bits, hence agrees
+    exactly on ≥ 1 sub-block (HmSearch-style multi-index re-probe) — so
+    recursion preserves perfect recall while bucket sizes shrink by
+    ~2^(bits/(r+1)) per level. Only depth-capped or bit-exhausted groups
+    (true sig floods) are drop-accounted. Duplicate pairs across
+    sub-blocks are deduped by the caller's .distinct().
     """
     import numpy as np
     import pandas as pd
+
+    refine = radius is not None
+    in_cols = ["band", "key", "rep_id"] + (["sig"] if refine else [])
 
     def gen(batches):
         carry = None
@@ -178,18 +196,78 @@ def _gen_pairs_sorted(max_bucket: int):
                 b = b[:len(pdf)]
             ends = np.append(starts[1:], len(pdf))
             ids_all = pdf["rep_id"].to_numpy()
+            if refine:
+                sigs_all = np.ascontiguousarray(
+                    pdf["sig"].to_numpy(), dtype=np.int64
+                ).view(np.uint64)
             a_out, b_out, drop_rows = [], [], []
+
+            def emit_pairs(ids: np.ndarray) -> None:
+                ids = np.sort(ids)
+                ii, jj = np.triu_indices(len(ids), 1)
+                a_out.append(ids[ii])
+                b_out.append(ids[jj])
+
+            def expand(ids, usigs, remaining, depth, band0, key0):
+                m = len(ids)
+                if m <= max_bucket:
+                    emit_pairs(ids)
+                    return
+                if depth >= max_depth or remaining.size == 0:
+                    drop_rows.append((band0, key0, int(m)))
+                    return
+                chunks = [c for c in np.array_split(remaining, radius + 1)
+                          if c.size]
+                # runs per chunk first: a true pair in this group agrees on
+                # ≥1 chunk, so EVERY run ≥2 of every chunk must recurse
+                per_chunk = []
+                split_any = False
+                for chunk in chunks:
+                    vals = np.zeros(m, dtype=np.uint64)
+                    for i, bit in enumerate(chunk):
+                        vals |= ((usigs >> np.uint64(bit)) & np.uint64(1)) \
+                            << np.uint64(i)
+                    order = np.argsort(vals, kind="stable")
+                    sv = vals[order]
+                    rs_ = np.nonzero(np.concatenate(([True], sv[1:] != sv[:-1])))[0]
+                    re_ = np.append(rs_[1:], m)
+                    if len(rs_) > 1:
+                        split_any = True
+                    per_chunk.append((chunk, order, rs_, re_))
+                if not split_any:
+                    # identical on every remaining bit (an exact-sig flood
+                    # that escaped collapse) — recursion can never shrink it
+                    drop_rows.append((band0, key0, int(m)))
+                    return
+                for chunk, order, rs_, re_ in per_chunk:
+                    rem2 = np.setdiff1d(remaining, chunk)
+                    for s2, e2 in zip(rs_, re_):
+                        if e2 - s2 < 2:
+                            continue
+                        sel = order[s2:e2]
+                        expand(ids[sel], usigs[sel], rem2, depth + 1, band0, key0)
+
             for s, e in zip(starts, ends):
                 m = e - s
                 if m < 2:
                     continue
-                if m > max_bucket:
-                    drop_rows.append((int(pdf["band"].iat[s]), int(pdf["key"].iat[s]), int(m)))
+                band0 = int(pdf["band"].iat[s])
+                key0 = int(pdf["key"].iat[s])
+                if m <= max_bucket:
+                    emit_pairs(ids_all[s:e])
                     continue
-                ids = np.sort(ids_all[s:e])
-                ii, jj = np.triu_indices(m, 1)
-                a_out.append(ids[ii])
-                b_out.append(ids[jj])
+                if not refine:
+                    drop_rows.append((band0, key0, int(m)))
+                    continue
+                nblocks = radius + 1
+                width = 64 // nblocks
+                lo = band0 * width
+                w = width if band0 < nblocks - 1 else 64 - lo
+                remaining = np.array(
+                    [bit for bit in range(64) if not (lo <= bit < lo + w)],
+                    dtype=np.int64,
+                )
+                expand(ids_all[s:e], sigs_all[s:e], remaining, 1, band0, key0)
             frames = []
             if a_out:
                 frames.append(pd.DataFrame({
@@ -214,7 +292,7 @@ def _gen_pairs_sorted(max_bucket: int):
             out = process(pdf, final=False)
             if out is not None:
                 yield out
-        tail = process(pd.DataFrame(columns=["band", "key", "rep_id"]), final=True) \
+        tail = process(pd.DataFrame(columns=in_cols), final=True) \
             if carry is not None and len(carry) else None
         if tail is not None:
             yield tail
@@ -222,8 +300,10 @@ def _gen_pairs_sorted(max_bucket: int):
     return gen
 
 
-def grouped_pair_expansion(buckets: DataFrame, max_bucket: int) -> tuple[DataFrame, DataFrame]:
-    """(band, key, rep_id) buckets → (distinct (a, b) pairs a < b,
+def grouped_pair_expansion(buckets: DataFrame, max_bucket: int,
+                           radius: int | None = None,
+                           max_depth: int = 4) -> tuple[DataFrame, DataFrame]:
+    """(band, key, rep_id[, sig]) buckets → (distinct (a, b) pairs a < b,
     dropped(band, key, size)).
 
     ONE plain exchange (repartition + sort on the bucket key — compact
@@ -233,17 +313,27 @@ def grouped_pair_expansion(buckets: DataFrame, max_bucket: int) -> tuple[DataFra
     -unique keys at 25 µs/row of JVM CPU — object aggs don't survive
     web-scale banding.
 
-    Buckets above max_bucket yield no pairs and are returned in the
-    dropped-metrics DF (band, key, size) — recall loss is never silent
-    (SURVEY §4.1). Per-bucket work is O(size²), bounded by the cap.
+    LSH mode (radius=None): buckets above max_bucket yield no pairs and
+    are returned in the dropped-metrics DF (band, key, size) — recall
+    loss is never silent (SURVEY §4.1). Per-bucket work is O(size²),
+    bounded by the cap.
+
+    Hamming mode (radius=r, sig column present): oversized pigeonhole
+    buckets are hierarchically re-bucketed on the remaining sig bits
+    inside the Arrow kernel (no extra shuffle — the whole bucket is
+    already colocated and sorted), preserving perfect recall within the
+    radius; see _gen_pairs_sorted. This removes the 16-bit block
+    saturation ceiling: at n ≫ 2^16 reps the average (blk, val) bucket
+    is n/2^16 > max_bucket, and drop-mode would shed *typical* buckets.
+
     Shared by the LSH band join and the simhash pigeonhole block join —
     both are instances of "expand pairs within bounded equi-key groups".
     """
-    sorted_buckets = buckets.repartition("band", "key").sortWithinPartitions(
-        "band", "key", "rep_id"
-    )
+    cols = ["band", "key", "rep_id"] + (["sig"] if radius is not None else [])
+    sorted_buckets = buckets.select(*cols).repartition("band", "key") \
+        .sortWithinPartitions("band", "key", "rep_id")
     out = sorted_buckets.mapInPandas(
-        _gen_pairs_sorted(max_bucket),
+        _gen_pairs_sorted(max_bucket, radius=radius, max_depth=max_depth),
         schema="a string, b string, dband int, dkey long, dsize long",
     )
     pairs = out.filter(F.col("a").isNotNull()).select("a", "b").distinct()

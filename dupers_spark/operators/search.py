@@ -150,27 +150,34 @@ def query_suffix_index(index: DataFrame, term: str) -> DataFrame:
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hits: set[str] = set()
-            for _, row in pdf.iterrows():
-                concat, sa = row["concat"], row["sa"]
-                offsets, doc_ids = list(row["offsets"]), list(row["doc_ids"])
+            # per-row loop is rows == shards (one SA per shard); inside a
+            # shard everything is O(|term|·log n) + vectorized numpy — a
+            # term with 10⁶ occurrences costs two binary searches and one
+            # searchsorted, never a per-occurrence Python walk
+            for concat, sa, offsets, doc_ids in zip(
+                pdf["concat"], pdf["sa"], pdf["offsets"], pdf["doc_ids"]
+            ):
+                sa = np.asarray(sa, dtype=np.int64)
                 lo, hi = 0, len(sa)
-                # lower bound of term in suffix order
-                while lo < hi:
+                while lo < hi:  # lower bound of term in suffix order
                     mid = (lo + hi) // 2
                     if concat[sa[mid]: sa[mid] + len(term)] < term:
                         lo = mid + 1
                     else:
                         hi = mid
-                starts = []
-                i = lo
-                while i < len(sa) and concat[sa[i]: sa[i] + len(term)] == term:
-                    starts.append(int(sa[i]))
-                    i += 1
-                if starts:
-                    import bisect
-                    for s in starts:
-                        j = bisect.bisect_right(offsets, s) - 1
-                        hits.add(doc_ids[j])
+                lo2, hi2 = lo, len(sa)
+                while lo2 < hi2:  # upper bound: first prefix > term
+                    mid = (lo2 + hi2) // 2
+                    if concat[sa[mid]: sa[mid] + len(term)] <= term:
+                        lo2 = mid + 1
+                    else:
+                        hi2 = mid
+                if lo2 > lo:
+                    starts = sa[lo:lo2]
+                    offs = np.asarray(offsets, dtype=np.int64)
+                    idx = np.unique(np.searchsorted(offs, starts, side="right") - 1)
+                    ids_arr = np.asarray(doc_ids, dtype=object)
+                    hits.update(ids_arr[idx].tolist())
             yield pd.DataFrame({"doc_id": sorted(hits)})
 
     return index.mapInPandas(probe, schema="doc_id string")

@@ -52,22 +52,38 @@ def collapse_exact_sig(df: DataFrame, id_col: str = "image_id",
 
 
 def hamming_candidates(reps: DataFrame, radius: int = 3,
-                       max_bucket: int = 2000) -> tuple[DataFrame, DataFrame]:
+                       max_bucket: int = 500) -> tuple[DataFrame, DataFrame]:
     """→ (candidate pairs (a, b), dropped(band, key, size)).
 
     Pigeonhole block values are only 64/(radius+1) bits wide (16 bits at
     radius 3), so at n ≫ 2^16 reps every (blk, val) bucket holds ~n/65536
-    rows and a naive self-join is O(n²/2^16). The same bounded-bucket
-    expansion as the LSH engine (minhash_lsh.grouped_pair_expansion) caps
-    per-bucket work at max_bucket² with accounted drops — recall loss is
-    never silent.
+    rows and a naive self-join is O(n²/2^16). The bounded-bucket expansion
+    kernel (minhash_lsh.grouped_pair_expansion) runs in Hamming mode here:
+    oversized buckets are hierarchically re-pigeonholed on the remaining
+    48 sig bits (r+1 sub-blocks per level — any within-radius pair agrees
+    exactly on ≥1, HmSearch-style), so recall stays perfect past the
+    n ≈ max_bucket·2^16 saturation point where drop-mode would shed
+    typical buckets; only depth-capped identical-sig floods are dropped,
+    with accounting.
+
+    With refinement, max_bucket is a COST dial, not a recall dial: a
+    bucket at the cap emits cap²/2 candidate pairs wholesale, while a
+    bucket above it splits until members agree on more bits — so a lower
+    cap trades duplicate emissions of true pairs (≤ r+1 paths per level)
+    for far fewer false candidates in dense regions. 500 keeps worst-case
+    emission ≤ n·250 rows while leaving typical (sparse) buckets on the
+    one-shot triu path.
     """
     from dupers_spark.operators.minhash_lsh import grouped_pair_expansion
 
     blocks = reps.select(
-        "rep_id", F.explode(H.hamming_blocks(F.col("sig"), radius)).alias("b")
-    ).select(F.col("b.blk").alias("band"), F.col("b.val").alias("key"), "rep_id")
-    return grouped_pair_expansion(blocks, max_bucket)
+        "rep_id", F.col("sig"),
+        F.explode(H.hamming_blocks(F.col("sig"), radius)).alias("b"),
+    ).select(
+        F.col("b.blk").alias("band"), F.col("b.val").alias("key"),
+        "rep_id", "sig",
+    )
+    return grouped_pair_expansion(blocks, max_bucket, radius=radius)
 
 
 def verify_hamming(cands: DataFrame, reps: DataFrame, radius: int = 3) -> DataFrame:
@@ -85,7 +101,7 @@ def verify_hamming(cands: DataFrame, reps: DataFrame, radius: int = 3) -> DataFr
 
 def phash_near_dup_edges(images: DataFrame, radius: int = 3,
                          id_col: str = "image_id", sig_col: str = "phash",
-                         max_bucket: int = 2000,
+                         max_bucket: int = 500,
                          ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full perceptual near-dup pipeline →
     (edges(a,b), verified(a,b,dist), dropped_buckets(band,key,size)).

@@ -59,8 +59,10 @@ def compact_stage(spark: SparkSession, path: str,
     right-sized files. Returns {files_before, files_after, rows}.
 
     On Iceberg this is rewrite_data_files; the parquet fallback stages the
-    rewrite in a sibling dir and swaps, so a crash never leaves the stage
-    half-written.
+    rewrite in a sibling dir and swaps via rename-aside (path → path.old,
+    tmp → path, delete path.old), so the stage is either the old or the new
+    complete directory at every instant except the two renames themselves —
+    a crash fails safe to a rebuild, never to a half-written stage.
     """
     import glob
     import shutil
@@ -81,8 +83,12 @@ def compact_stage(spark: SparkSession, path: str,
                 and not name.startswith(("_SUCCESS", ".")):
             with open(p, "rb") as fh:
                 sidecars[name] = fh.read()
-    shutil.rmtree(path)
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     for name, blob in sidecars.items():
         with open(os.path.join(path, name), "wb") as fh:
             fh.write(blob)
@@ -162,10 +168,23 @@ class DedupPipeline:
     # ------------------------------------------------------------- stages
     def run(self, images: DataFrame) -> DataFrame:
         # input identity for resume safety: row count + order-independent
-        # xor of id hashes (one cheap aggregate, overflow-free)
+        # xor of row-content hashes. Content columns (caption, phash, byte
+        # LENGTH) are folded in so a rerun against same-ids-different-rows
+        # rebuilds instead of silently reusing stale stages. Full-byte
+        # hashing is deliberately NOT done here — the fingerprint runs on
+        # every invocation including resumes, and reading the whole corpus
+        # to decide "skip" would cost what the resume saves; length+phash
+        # catch byte edits in practice (phash derives from the pixels).
+        fp_cols = ["xxhash64(image_id)"]
+        for c, expr in [("caption", "xxhash64(caption)"),
+                        ("phash", "xxhash64(phash)"),
+                        ("bytes", "xxhash64(length(bytes))")]:
+            if c in images.columns:
+                fp_cols.append(expr)
+        fp_expr = f"bit_xor(xxhash64({', '.join(fp_cols)}))"
         fp_row = images.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(image_id))"), F.lit(0)).alias("h"),
+            F.coalesce(F.expr(fp_expr), F.lit(0)).alias("h"),
         ).collect()[0]
         self._input_fp = f"{fp_row['n']}:{fp_row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
 

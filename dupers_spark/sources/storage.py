@@ -65,17 +65,25 @@ class StageStore:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
             return
-        # parquet fallback: staged write + swap so a crash never leaves a
-        # half-written stage (the Iceberg-snapshot-replace equivalent)
+        # parquet fallback: staged write + rename-aside swap (final → .old,
+        # .staging → final, delete .old) — the stage is a complete old or
+        # new directory at every instant except the two renames, so a crash
+        # fails safe to a rebuild, never a half-written stage (the
+        # Iceberg-snapshot-replace equivalent)
         final = self.path(name)
         tmp = final + ".staging"
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
+        old = final + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(final):
-            shutil.rmtree(final)
+            os.rename(final, old)
         os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:

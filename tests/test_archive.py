@@ -97,3 +97,42 @@ def test_single_member_gzip(spark):
     assert len(rows) == 1 and rows[0]["ok"]
     assert rows[0]["member_path"] == "app.log"
     assert rows[0]["sha256"] == hashlib.sha256(b"line1\nline2\n").hexdigest()
+
+
+def test_7z_members_scanned(spark):
+    """7z archives (S4's last sliver): plain-header store + LZMA2 archives
+    yield member rows with correct digests; the reference reads 7z too
+    (dupe.go:648-693)."""
+    from dupers_spark.functions.sevenzip import write_7z
+
+    members = [("x/a.txt", b"alpha"), ("b.bin", bytes(range(200)) * 7)]
+    df = spark.createDataFrame(
+        [("arch_s.7z", bytearray(write_7z(members, compress=False))),
+         ("arch_c.7z", bytearray(write_7z(members, compress=True)))],
+        ["image_id", "bytes"],
+    )
+    rows = archive.archive_scan(df).collect()
+    assert all(r["ok"] for r in rows)
+    assert all(r["fmt"] == "7z" for r in rows)
+    got = {(r["archive_id"], r["member_path"]): r["sha256"] for r in rows}
+    for aid in ("arch_s.7z", "arch_c.7z"):
+        for name, blob in members:
+            assert got[(aid, name)] == hashlib.sha256(blob).hexdigest()
+
+
+def test_7z_exotic_variant_is_accounted(spark):
+    """A 7z with an encoded (compressed) header is outside the supported
+    subset → ONE ok=false row with the reason, never a silent skip."""
+    import struct
+
+    from dupers_spark.functions.sevenzip import SIGNATURE
+
+    hdr = bytes([0x17])  # kEncodedHeader
+    blob = SIGNATURE + b"\x00\x04" + b"\x00" * 4 + struct.pack(
+        "<QQI", 0, len(hdr), 0
+    ) + hdr
+    df = spark.createDataFrame([("weird.7z", bytearray(blob))],
+                               ["image_id", "bytes"])
+    rows = archive.archive_scan(df).collect()
+    assert len(rows) == 1 and not rows[0]["ok"]
+    assert "encoded" in rows[0]["err"]

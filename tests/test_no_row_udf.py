@@ -24,11 +24,13 @@ def test_no_collect_in_operators():
     (components.py) and brute_force_topk_np's probe-matrix collect+broadcast
     (ann.py — the probe set is small by contract and shipped to executors
     as one numpy matrix, the standard broadcast-side pattern)."""
-    allowed = {"components.py", "ann.py"}
+    # exact expected counts, not whole-file exemptions: a NEW collect added
+    # to components.py or ann.py must fail this gate until adjudicated here
+    allowed_counts = {"components.py": 1, "ann.py": 1}
     offenders = []
     for py in (PKG / "operators").glob("*.py"):
-        if py.name in allowed:
-            continue
-        if ".collect()" in py.read_text():
-            offenders.append(py.name)
+        n = py.read_text().count(".collect()")
+        if n > allowed_counts.get(py.name, 0):
+            offenders.append(f"{py.name}: {n} collect() calls "
+                             f"(allowed {allowed_counts.get(py.name, 0)})")
     assert not offenders, offenders

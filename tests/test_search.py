@@ -49,3 +49,24 @@ def test_suffix_index_deterministic_across_shards(spark, images_small):
     a = {r["doc_id"] for r in search.query_suffix_index(i4, "scan").collect()}
     b = {r["doc_id"] for r in search.query_suffix_index(i9, "scan").collect()}
     assert a == b
+
+
+def test_suffix_probe_heavy_term_is_vectorized(spark):
+    """A term occurring ~10⁵ times inside ONE shard must not trigger a
+    per-occurrence Python walk: the probe is two binary searches plus one
+    searchsorted regardless of occurrence count."""
+    import time
+
+    # 2000 docs in one shard, each containing the needle 50 times → 100k
+    # occurrences of 'xy' in the shard's concat
+    docs = spark.createDataFrame(
+        [(f"d{i:05d}", "xy" * 50 + f" unique{i}") for i in range(2000)],
+        ["image_id", "caption"],
+    )
+    idx = search.build_suffix_index(docs, "image_id", "caption", shards=1).cache()
+    idx.count()  # build outside the probe clock
+    t0 = time.time()
+    hits = {r["doc_id"] for r in search.query_suffix_index(idx, "xy").collect()}
+    probe_sec = time.time() - t0
+    assert len(hits) == 2000
+    assert probe_sec < 10, f"probe took {probe_sec:.1f}s — occurrence walk?"

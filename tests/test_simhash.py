@@ -45,6 +45,43 @@ def test_hamming_flood_guard_caps_hot_blocks(spark):
     assert cands.count() < n * 100
 
 
+def test_hamming_saturated_block_keeps_recall(spark):
+    """The n ≫ max_bucket·(block cardinality) saturation regime: 3·10⁵ reps
+    share ONE 16-bit block value, so the (blk0, val) bucket holds every row
+    — drop-mode would shed it (losing every pair whose only agreeing block
+    is blk0). Hierarchical re-pigeonholing must keep recall 1.0 for planted
+    pairs that differ by one bit in EACH of blocks 1-3 (they agree only on
+    block 0), with bounded candidate volume and zero dropped buckets.
+
+    N.B. the 20-bit flip sits inside depth-1 refinement chunk [16..27] and
+    the 35/50-bit flips in later chunks, so the planted pairs also exercise
+    the ≥1-sub-block-agreement argument at every refinement level."""
+    n = 300_000
+    res_mask = (1 << 48) - 1
+    base = spark.range(n).selectExpr(
+        "concat('id_', lpad(cast(id as string), 7, '0')) AS rep_id",
+        f"shiftleft(xxhash64(id) & {res_mask}L, 16) | 42L AS sig",
+    )
+    # partners for ids 0-9: flip one bit in each of blocks 1, 2, 3
+    # (bits 20, 35, 50) → Hamming distance 3, agreeing block = blk0 only
+    flip = (1 << 20) | (1 << 35) | (1 << 50)
+    partners = spark.range(10).selectExpr(
+        "concat('pt_', lpad(cast(id as string), 7, '0')) AS rep_id",
+        f"(shiftleft(xxhash64(id) & {res_mask}L, 16) | 42L) ^ {flip}L AS sig",
+    )
+    reps = base.unionByName(partners)
+    cands, dropped = sh.hamming_candidates(reps, RADIUS, max_bucket=60)
+    verified = sh.verify_hamming(cands, reps, RADIUS)
+    got = {(r["a"], r["b"]) for r in verified.collect()}
+    want = {(f"id_{i:07d}", f"pt_{i:07d}") for i in range(10)}
+    assert want <= got, f"missing planted pairs: {want - got}"
+    # candidate volume ≈ pairs agreeing on ≥28 random bits, nowhere near
+    # the O(n²/2^16) a naive saturated-bucket expansion would produce
+    assert cands.count() < 8_000_000
+    # no typical bucket was dropped (only identical-sig floods would be)
+    assert dropped.count() == 0
+
+
 def test_identical_phash_collapse(spark, images_small):
     """r0/r1/r2 share pixels → identical phash → star edges, not LSH rows."""
     reps, star = sh.collapse_exact_sig(images_small)
