@@ -387,6 +387,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_docs"] = simhash_docs
 
+    def simhash_near_pairs(spark, sf):
+        # the Hamming-ball ENGINE itself (pigeonhole blocks + hierarchical
+        # refinement + verify) value-checked end-to-end: poly 30-bit
+        # simhash → hamming_candidates → verify_hamming, against DuckDB's
+        # O(n²) bit_count(xor) ≤ 3 oracle
+        from dupers_spark.operators import simhash as sh_ops
+
+        t = dedup_text.simhash_table_poly(_docs(spark, sf))
+        reps = t.select(F.col("id").cast("string").alias("rep_id"),
+                        F.col("simhash").alias("sig"))
+        cands, _dropped = sh_ops.hamming_candidates(reps, radius=3)
+        ver = sh_ops.verify_hamming(cands, reps, radius=3)
+        al, bl = F.col("a").cast("long"), F.col("b").cast("long")
+        return ver.select(
+            F.least(al, bl).alias("a"), F.greatest(al, bl).alias("b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+
+    q["simhash_near_pairs"] = simhash_near_pairs
+
     # --- archive scan (dupers `up+`, SURVEY S4) --------------------------
     def archive_scan_members(spark, sf):
         # documents zipped per source (deterministic), then exploded +
@@ -784,6 +804,14 @@ def oracle_sql() -> dict[str, str]:
                       ELSE list_transform({toks}, tok -> {_poly_sql('tok')}) END AS hs
           FROM documents)
         SELECT id, CAST({bit_terms} AS BIGINT) AS simhash FROM t
+    """
+
+    o["simhash_near_pairs"] = f"""
+        WITH t AS ({o["simhash_docs"]})
+        SELECT l.id AS a, r.id AS b,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS dist
+        FROM t l JOIN t r ON l.id < r.id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
     """
 
     o["archive_scan_members"] = """

@@ -195,7 +195,27 @@ spark.stop()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     clusters_match = r_lo["clusters"] == r_hi["clusters"]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    report = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(report):
+        # BASELINE.md is hand-curated across rounds — append a compact
+        # dated section instead of clobbering prior experiments
+        with open(report, "a") as fh:
+            fh.write(f"""
+
+## Rerun {time.strftime('%Y-%m-%d %H:%M')} — local[{CORES_LO}] vs local[{CORES_HI}], {N} images, best of {REPEATS} interleaved
+
+| parallelism | seconds | images/sec | clusters | busy core-s | steal % |
+|---|---|---|---|---|---|
+| local[{CORES_LO}]  | {r_lo['seconds']} | {r_lo['images_per_sec']} | {r_lo['clusters']} | {r_lo.get('busy_core_s')} | {r_lo.get('steal_pct')} |
+| local[{CORES_HI}] | {r_hi['seconds']} | {r_hi['images_per_sec']} | {r_hi['clusters']} | {r_hi.get('busy_core_s')} | {r_hi.get('steal_pct')} |
+
+raw eff **{eff:.3f}** · CPU inflation ×{inflation:.2f} ·
+engine-attributable **{eff_engine:.3f}** · spin ceiling {host_ceiling:.3f} ·
+clusters equal: {clusters_match}
+all runs (s): lo {', '.join(str(r['seconds']) for r in runs_lo)} | hi {', '.join(str(r['seconds']) for r in runs_hi)}
+""")
+        return
+    with open(report, "w") as fh:
         fh.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
 North rule requires N→4N executor scaling efficiency ≥ 0.8. No real cluster
