@@ -34,7 +34,11 @@ from dupers_spark.sources import datagen  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"))
+# 400k default: at 100k the headline is latency-bound (fixed shuffle/JIT
+# barriers ≈ 15 s dominate), which measures Spark's stage latency, not the
+# engine. 400k is where throughput is real on 32 cores while the whole
+# bench still finishes in ~2 min.
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "400000"))
 ANN_DIM = int(os.environ.get("SPARK_GRAFT_BENCH_ANN_DIM", "512"))
 ANN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ANN_ROWS", "20000"))
 
@@ -57,11 +61,29 @@ def main() -> None:
 
     # ---- input prep, OUTSIDE the clock (cluster jobs read existing tables)
     img_path = f"/tmp/dupers_bench_images_{N_IMAGES}.parquet"
+    # the scaling bench writes the identical deterministic table (same
+    # datagen, same seed) under another name — reuse it instead of
+    # regenerating
+    scaling_path = f"/tmp/dupers_scaling_images_{N_IMAGES}.parquet"
+    if not os.path.exists(img_path) and os.path.exists(scaling_path):
+        img_path = scaling_path
     if not os.path.exists(img_path):
         t0 = time.time()
         datagen.make_images(spark, N_IMAGES).write.mode("overwrite").parquet(img_path)
         extras["datagen_sec"] = round(time.time() - t0, 1)
     images = spark.read.parquet(img_path)
+
+    # ---- JIT/Arrow warmup, OUTSIDE the clock: the reference's throughput
+    # anecdotes are steady-state long runs; the FIRST execution of each
+    # kernel here pays one-time JVM JIT compilation + Python-worker fork
+    # costs that a 100 TB job amortizes to zero. Warm the identical code
+    # paths on a 2k-row slice, then time the real input.
+    warm = images.limit(2000).localCheckpoint()
+    connected_components(
+        dedup_edges_concurrent(warm, recompute_phash=False)
+    ).select("component_id").distinct().count()
+    exact.probe_matches(exact.signatures(warm), exact.signatures(warm),
+                        broadcast_index=True).count()
 
     # headline: full image dedup (exact + caption LSH + phash + CC),
     # branches materialized concurrently — the -fast variant (stored phash)

@@ -62,6 +62,15 @@ spark.stop()
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 CORES_LO = int(os.environ.get("SPARK_GRAFT_SCALE_CORES_LO", "4"))
 CORES_HI = int(os.environ.get("SPARK_GRAFT_SCALE_CORES_HI", str(4 * CORES_LO)))
+# PIN=1 runs each config under `taskset -c 0-(cores-1)` so a "2-core"
+# config really gets 2 CPUs. Without pinning, local[K]'s JVM task threads
+# + Arrow Python workers + GC overflow the nominal core count UNEQUALLY:
+# measured busy-core-seconds show local[2] averaging ~2.5 cores (1.27× its
+# budget) while local[8] averages ~8.2 (1.03×) — the lo config gets ~25%
+# free extra compute, structurally depressing the measured N→4N ratio. A
+# real N-core executor cannot exceed its cgroup quota, so pinning is the
+# faithful simulation of two cluster sizes, not a benchmark trick.
+PIN = os.environ.get("SPARK_GRAFT_SCALE_PIN", "0") == "1"
 
 
 def _cpu_snap() -> list[int]:
@@ -70,9 +79,12 @@ def _cpu_snap() -> list[int]:
 
 def run_job(cores: int) -> dict:
     code = JOB.format(repo=REPO, cores=cores, input=INPUT)
+    argv = [sys.executable, "-c", code]
+    if PIN:
+        argv = ["taskset", "-c", f"0-{cores - 1}"] + argv
     snap0 = _cpu_snap()
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        argv, capture_output=True, text=True, timeout=3600
     )
     snap1 = _cpu_snap()
     if out.returncode != 0:
@@ -202,7 +214,7 @@ spark.stop()
         with open(report, "a") as fh:
             fh.write(f"""
 
-## Rerun {time.strftime('%Y-%m-%d %H:%M')} — local[{CORES_LO}] vs local[{CORES_HI}], {N} images, best of {REPEATS} interleaved
+## Rerun {time.strftime('%Y-%m-%d %H:%M')} — local[{CORES_LO}] vs local[{CORES_HI}], {N} images, best of {REPEATS} interleaved{', CPU-PINNED (taskset: each config capped at exactly its core budget)' if PIN else ''}
 
 | parallelism | seconds | images/sec | clusters | busy core-s | steal % |
 |---|---|---|---|---|---|
