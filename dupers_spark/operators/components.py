@@ -84,11 +84,21 @@ def connected_components(
     b: str = "b",
     max_iter: int = 50,
     checkpoint: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
     """pairs(a, b) → (image_id, component_id) with component_id = min member.
 
     Isolated nodes (no pairs) are not emitted — callers union singletons with
     component_id = own id if they need total assignment.
+
+    partitions: shuffle-partition count for the star-round loop. Default
+    sizes it to the measured edge count (~2M edges ≈ 32 MB per partition,
+    clamped by the session's ``spark.sql.shuffle.partitions``): the loop
+    shuffles ~32 B/edge, so the session-level count — sized for wide table
+    scans — leaves every round latency-bound on near-empty tasks (measured
+    2× wall-time cost on a 380k-edge graph). The conf is restored after the
+    loop; the loop is the only query running on the session at that point
+    (CC is a global barrier by nature).
     """
     edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).filter(
         F.col("u") != F.col("v")
@@ -107,20 +117,28 @@ def connected_components(
         return int(row["n"]), int(row["h"])
 
     prev = fingerprint(edges)
-    for _ in range(max_iter):
-        # two alternating rounds per convergence check — halves the number
-        # of global sync barriers (fingerprint collect + checkpoint); the
-        # star operators are idempotent at the fixpoint so overshooting one
-        # round never changes the result
-        edges2 = _small_star(_large_star(edges))
-        edges2 = _small_star(_large_star(edges2))
-        if checkpoint:
-            edges2 = edges2.localCheckpoint()
-        cur = fingerprint(edges2)
-        edges = edges2
-        if cur == prev:
-            break
-        prev = cur
+    spark = pairs.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if partitions is None:
+        partitions = max(2, min(session_parts, prev[0] // 2_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        for _ in range(max_iter):
+            # two alternating rounds per convergence check — halves the
+            # number of global sync barriers (fingerprint collect +
+            # checkpoint); the star operators are idempotent at the fixpoint
+            # so overshooting one round never changes the result
+            edges2 = _small_star(_large_star(edges))
+            edges2 = _small_star(_large_star(edges2))
+            if checkpoint:
+                edges2 = edges2.localCheckpoint()
+            cur = fingerprint(edges2)
+            edges = edges2
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
 
     # star forest: u → root(v); roots also label themselves
     members = edges.select(F.col("u").alias("image_id"), F.col("v").alias("component_id"))
