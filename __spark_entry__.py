@@ -431,6 +431,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_topk"] = ann_topk
 
+    def ann_ivf_exhaustive(spark, sf):
+        # IVF machinery (k-means centroids, bucket assignment, nprobe
+        # candidate join, re-rank) value-checked end-to-end: with
+        # nprobe = n_centroids every bucket is visited, so the result must
+        # equal exact brute force — same oracle as ann_topk. HOF re-rank
+        # matches DuckDB's left-fold bit-for-bit; the approximate
+        # nprobe ≪ n_centroids path is recall-gated in tests/test_ann.py.
+        e = _emb(spark, sf)
+        probes = e.filter(F.col("vec_id") < 8)
+        out = ann.ivf_topk(e, probes, k=3, n_centroids=16, nprobe=16,
+                           rerank="hof")
+        return out.select(
+            "probe_id", "neighbor_id", F.round("cos", 5).alias("cos"), "rnk"
+        )
+
+    q["ann_ivf_exhaustive"] = ann_ivf_exhaustive
+
     def embedding_near_dups(spark, sf):
         # EXACT all-pairs variant (oracle-checkable); the SRP-bucketed
         # approximate path is pytest-gated instead (tests/test_ann.py).
@@ -843,6 +860,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT probe_id, neighbor_id, round(cos, 5) AS cos, CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 3
     """
+    # IVF with nprobe = n_centroids is exact brute force by construction —
+    # the oracle is identical; a divergence means the bucketing machinery
+    # (centroid assignment / candidate join) lost or duplicated candidates
+    o["ann_ivf_exhaustive"] = o["ann_topk"]
 
     # embedding near-dups: same left-fold double arithmetic both engines
     dot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "

@@ -11,6 +11,11 @@ Paths, per the training-data-pipeline mandate:
     → int bucket key; probes join only their own bucket (+ optional 1-bit
     multiprobe), then exact cosine re-rank. At 10^12 rows this turns a full
     scan per probe into an equi-join.
+  * IVF-bucketed probe search: deterministic spherical k-means centroids →
+    ``centroid_id`` partition key; each probe visits its nprobe nearest
+    centroid buckets, exact re-rank inside. nprobe = n_centroids degrades
+    to exact brute force — the driver value-oracle runs that configuration
+    (HOF re-rank), the approximate path is recall-gated in pytest.
   * SRP near-dup pairs with OR-construction: L independent plane tables
     (banding, exactly like minhash) — a single p-plane table has agreement
     probability (1−θ/π)^p, only ≈0.29 at cos 0.95 with p=12; unioning L
@@ -176,6 +181,155 @@ def lsh_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, dim: int = 64,
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine(F.col("pvec"), F.col("cvec")))
     )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 64, iters: int = 5,
+                  seed: int = 42, sample: int = 50_000,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means centroids for an IVF index — deterministic.
+
+    The training sample is bounded and order-stable (hash-ordered limit),
+    so the centroids — and therefore the whole index — are reproducible
+    for a given (seed, sample) regardless of partitioning. Lloyd iterations
+    run on the driver over the ≤``sample`` vectors (centroids are k·dim
+    floats — driver-sized by construction); the full corpus never leaves
+    the executors.
+    """
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"))
+        .orderBy("h").limit(sample).select("v").collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(Xn))
+    C = Xn[:k].copy()  # hash-ordered rows are a uniform random init
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 1e-12:
+                    C[j] = c / n
+    return C
+
+
+def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, centroid_id) — nearest centroid by cosine, one matmul per
+    Arrow batch, assignment emitted inline (no join back onto the corpus).
+    At warehouse scale this frame is written partitioned by
+    ``centroid_id``: probes then prune to their nprobe partitions at scan
+    time instead of filtering post-read."""
+    import pandas as pd
+
+    from dupers_spark.functions.fasthash import _stack_vecs
+
+    bc = corpus.sparkSession.sparkContext.broadcast(np.ascontiguousarray(centroids))
+
+    def gen(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _stack_vecs(pdf[vec_col])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                vec_col: pdf[vec_col],
+                "centroid_id": np.argmax(Xn @ C.T, axis=1).astype(np.int32),
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, {vec_col} array<float>, centroid_id int"
+    )
+
+
+def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5,
+             n_centroids: int = 64, nprobe: int = 8, iters: int = 5,
+             seed: int = 42, sample: int = 50_000, rerank: str = "np",
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: centroid bucketing → nprobe candidate
+    partitions per probe → exact cosine re-rank. Same output contract as
+    :func:`brute_force_topk` (probe_id, neighbor_id, cos, rnk).
+
+    nprobe = n_centroids visits every bucket, making the result EXACTLY
+    brute force — the driver value-oracle runs that configuration to check
+    the bucketing/candidate machinery end-to-end, while the approximate
+    production setting (nprobe ≪ n_centroids) is recall-gated in pytest.
+
+    rerank="np": one matmul per Arrow batch with per-batch partial top-k
+    (production at dim 512+). rerank="hof": JVM left-fold cosine — bitwise
+    identical to the DuckDB oracle's list_reduce, used by the value oracle.
+
+    Scale shape: the assigned corpus is the IVF index table (partition key
+    ``centroid_id``); the (probe × selected-centroid) list is tiny and
+    broadcast, so the candidate join is a pruned scan + broadcast hash
+    join — no corpus shuffle, no cross join.
+    """
+    import pandas as pd
+
+    from dupers_spark.functions.fasthash import _stack_vecs
+
+    spark = corpus.sparkSession
+    C = ivf_centroids(corpus, n_centroids, iters, seed, sample, id_col, vec_col)
+    assigned = ivf_assign(corpus, C, id_col, vec_col)
+
+    p_rows = probes.select(id_col, vec_col).collect()
+    pids = np.array([r[0] for r in p_rows], dtype=np.int64)
+    P = np.stack([np.asarray(r[1], dtype=np.float64) for r in p_rows])
+    Pn = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+    npr = min(nprobe, len(C))
+    # top-nprobe centroids per probe, ties broken by centroid id (argsort
+    # over (-score, id) is stable/deterministic)
+    order = np.argsort(-(Pn @ C.T), kind="stable", axis=1)[:, :npr]
+    sel = spark.createDataFrame(
+        [(int(pids[i]), int(c)) for i in range(len(pids)) for c in order[i]],
+        schema="probe_id long, centroid_id int",
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        "centroid_id",
+    ).join(F.broadcast(sel), "centroid_id").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+
+    if rerank == "hof":
+        pv = probes.select(F.col(id_col).alias("probe_id"),
+                           F.col(vec_col).alias("pvec"))
+        scored = cand.join(F.broadcast(pv), "probe_id").withColumn(
+            "cos", cosine(F.col("pvec"), F.col("cvec"))
+        )
+    else:
+        bc = spark.sparkContext.broadcast((pids, np.ascontiguousarray(Pn)))
+
+        def gen(batches):
+            pids_, Pn_ = bc.value
+            pos = {int(p): i for i, p in enumerate(pids_)}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _stack_vecs(pdf["cvec"])
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                cols = np.array([pos[int(p)] for p in pdf["probe_id"]])
+                cos = np.einsum("ij,ij->i", Xn, Pn_[cols])
+                yield pd.DataFrame({
+                    "probe_id": pdf["probe_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cos": cos,
+                })
+
+        scored = cand.mapInPandas(
+            gen, schema="probe_id long, neighbor_id long, cos double"
+        )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

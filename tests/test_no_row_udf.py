@@ -21,12 +21,13 @@ def test_no_collect_in_operators():
     """Operators must stay distributed — driver-side .collect() loops are
     forbidden in the operator layer (allowed in tests/bench only).
     Sanctioned uses: connected_components' convergence aggregate
-    (components.py) and brute_force_topk_np's probe-matrix collect+broadcast
-    (ann.py — the probe set is small by contract and shipped to executors
-    as one numpy matrix, the standard broadcast-side pattern)."""
+    (components.py) and three bounded collects in ann.py —
+    brute_force_topk_np's probe matrix (small by contract, broadcast),
+    ivf_centroids' hash-ordered LIMIT-``sample`` training rows, and
+    ivf_topk's probe matrix (same contract as brute_force_topk_np)."""
     # exact expected counts, not whole-file exemptions: a NEW collect added
     # to components.py or ann.py must fail this gate until adjudicated here
-    allowed_counts = {"components.py": 1, "ann.py": 1}
+    allowed_counts = {"components.py": 1, "ann.py": 3}
     offenders = []
     for py in (PKG / "operators").glob("*.py"):
         n = py.read_text().count(".collect()")
