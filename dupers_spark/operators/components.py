@@ -91,14 +91,17 @@ def connected_components(
     Isolated nodes (no pairs) are not emitted — callers union singletons with
     component_id = own id if they need total assignment.
 
-    partitions: shuffle-partition count for the star-round loop. Default
-    sizes it to the measured edge count (~2M edges ≈ 32 MB per partition,
-    clamped by the session's ``spark.sql.shuffle.partitions``): the loop
-    shuffles ~32 B/edge, so the session-level count — sized for wide table
-    scans — leaves every round latency-bound on near-empty tasks (measured
-    2× wall-time cost on a 380k-edge graph). The conf is restored after the
-    loop; the loop is the only query running on the session at that point
-    (CC is a global barrier by nature).
+    partitions: shuffle-partition count for the star-round loop; None =
+    ADAPTIVE, re-derived each barrier from the edge count the convergence
+    fingerprint already measures (~50k edges per partition, clamped to
+    [2, session ``spark.sql.shuffle.partitions``]). Two failure modes this
+    avoids, both measured on 400k-node graphs: a fixed session-level count
+    leaves converged near-empty rounds latency-bound (2× wall on a
+    long-chain graph), while a fixed small count starves early
+    compute-bound rounds of parallelism (2 partitions on 8 cores: CC 17.5
+    → 21.8 s). The conf is restored after the loop; the loop is the only
+    query running on the session at that point (CC is a global barrier by
+    nature).
     """
     edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).filter(
         F.col("u") != F.col("v")
@@ -119,9 +122,13 @@ def connected_components(
     prev = fingerprint(edges)
     spark = pairs.sparkSession
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if partitions is None:
-        partitions = max(2, min(session_parts, prev[0] // 2_000_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+
+    def loop_parts(n_edges: int) -> int:
+        if partitions is not None:
+            return partitions
+        return max(2, min(session_parts, n_edges // 50_000 + 1))
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts(prev[0])))
     try:
         for _ in range(max_iter):
             # two alternating rounds per convergence check — halves the
@@ -137,6 +144,8 @@ def connected_components(
             if cur == prev:
                 break
             prev = cur
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(loop_parts(cur[0])))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
 
