@@ -256,6 +256,8 @@ def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
 def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5,
              n_centroids: int = 64, nprobe: int = 8, iters: int = 5,
              seed: int = 42, sample: int = 50_000, rerank: str = "np",
+             centroids: np.ndarray | None = None,
+             index: DataFrame | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF approximate top-k: centroid bucketing → nprobe candidate
     partitions per probe → exact cosine re-rank. Same output contract as
@@ -280,8 +282,12 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5,
     from dupers_spark.functions.fasthash import _stack_vecs
 
     spark = corpus.sparkSession
-    C = ivf_centroids(corpus, n_centroids, iters, seed, sample, id_col, vec_col)
-    assigned = ivf_assign(corpus, C, id_col, vec_col)
+    # centroids/index: pass a prebuilt index (ivf_centroids + ivf_assign —
+    # amortized construction, like any ANN system) to time/run queries only
+    C = centroids if centroids is not None else ivf_centroids(
+        corpus, n_centroids, iters, seed, sample, id_col, vec_col)
+    assigned = index if index is not None else ivf_assign(
+        corpus, C, id_col, vec_col)
 
     p_rows = probes.select(id_col, vec_col).collect()
     pids = np.array([r[0] for r in p_rows], dtype=np.int64)
@@ -291,45 +297,65 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5,
     # top-nprobe centroids per probe, ties broken by centroid id (argsort
     # over (-score, id) is stable/deterministic)
     order = np.argsort(-(Pn @ C.T), kind="stable", axis=1)[:, :npr]
-    sel = spark.createDataFrame(
-        [(int(pids[i]), int(c)) for i in range(len(pids)) for c in order[i]],
-        schema="probe_id long, centroid_id int",
-    )
-    cand = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
-        "centroid_id",
-    ).join(F.broadcast(sel), "centroid_id").filter(
-        F.col("probe_id") != F.col("neighbor_id")
-    )
+    union = sorted({int(c) for row in order for c in row})
 
     if rerank == "hof":
+        sel = spark.createDataFrame(
+            [(int(pids[i]), int(c)) for i in range(len(pids)) for c in order[i]],
+            schema="probe_id long, centroid_id int",
+        )
+        cand = assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+            "centroid_id",
+        ).join(F.broadcast(sel), "centroid_id").filter(
+            F.col("probe_id") != F.col("neighbor_id")
+        )
         pv = probes.select(F.col(id_col).alias("probe_id"),
                            F.col(vec_col).alias("pvec"))
         scored = cand.join(F.broadcast(pv), "probe_id").withColumn(
             "cos", cosine(F.col("pvec"), F.col("cvec"))
         )
     else:
-        bc = spark.sparkContext.broadcast((pids, np.ascontiguousarray(Pn)))
+        # single masked pass: filter to the union of selected buckets (a
+        # partition-prunable predicate on the index's partition key), then
+        # ONE (batch × dim)@(dim × m) matmul per Arrow batch with scores
+        # masked to each probe's own nprobe buckets + per-batch partial
+        # top-k — the corpus ships through Arrow once, never once per
+        # (row, probe) pair (an earlier join formulation moved 2× the
+        # corpus at 32 probes and lost to brute force outright)
+        M = np.zeros((len(C), len(pids)), dtype=bool)
+        for i in range(len(pids)):
+            M[order[i], i] = True
+        bc = spark.sparkContext.broadcast(
+            (pids, np.ascontiguousarray(Pn), M)
+        )
 
         def gen(batches):
-            pids_, Pn_ = bc.value
-            pos = {int(p): i for i, p in enumerate(pids_)}
+            pids_, Pn_, M_ = bc.value
             for pdf in batches:
                 if not len(pdf):
                     continue
-                X = _stack_vecs(pdf["cvec"])
+                X = _stack_vecs(pdf[vec_col])
                 Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-                cols = np.array([pos[int(p)] for p in pdf["probe_id"]])
-                cos = np.einsum("ij,ij->i", Xn, Pn_[cols])
+                S = Xn @ Pn_.T  # (n_batch, m)
+                cid = pdf["centroid_id"].to_numpy()
+                nid = pdf[id_col].to_numpy()
+                S[~M_[cid]] = -np.inf          # outside probe's buckets
+                S[nid[:, None] == pids_[None, :]] = -np.inf  # self
+                kk = min(k, len(pdf))
+                idx = np.argpartition(-S, kk - 1, axis=0)[:kk]
+                rows_p = np.repeat(pids_[None, :], kk, axis=0)
                 yield pd.DataFrame({
-                    "probe_id": pdf["probe_id"].to_numpy(),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "cos": cos,
+                    "probe_id": rows_p.ravel(),
+                    "neighbor_id": nid[idx].ravel(),
+                    "cos": np.take_along_axis(S, idx, axis=0).ravel(),
                 })
 
-        scored = cand.mapInPandas(
+        scored = assigned.filter(F.col("centroid_id").isin(union)).select(
+            id_col, vec_col, "centroid_id"
+        ).mapInPandas(
             gen, schema="probe_id long, neighbor_id long, cos double"
-        )
+        ).filter(F.col("cos") != F.lit(float("-inf")))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -48,21 +48,25 @@ def test_probe_join_broadcasts_small_index(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_ivf_candidate_join_broadcasts_selection(spark):
-    """The IVF probe path must be a broadcast hash join of the tiny
-    (probe × selected-centroid) list against the assigned corpus — never a
-    shuffle of the corpus, never a cartesian product."""
+def test_ivf_probe_path_never_shuffles_corpus(spark):
+    """IVF query plans must not move the corpus. np path: a bucket-union
+    filter + ONE Arrow pass, no join at all (the probe matrix + bucket
+    mask ship as a broadcast variable); hof path: broadcast hash joins of
+    the tiny selection, never a shuffle of the corpus or a cartesian
+    product. Either way the sole corpus exchange allowed is the final
+    top-k window's hash partitioning on probe_id."""
     from dupers_spark.operators import ann
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 4)
-    plan = _plan(ann.ivf_topk(emb, probes, k=3, n_centroids=8, nprobe=2))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-    # corpus side must not be exchanged for the join (only the broadcast
-    # side ships); the sole allowed corpus exchange is the final top-k
-    # window's hash partitioning on probe_id
-    assert plan.count("Exchange hashpartitioning") <= 1
+    plan_np = _plan(ann.ivf_topk(emb, probes, k=3, n_centroids=8, nprobe=2))
+    assert "Join" not in plan_np and "CartesianProduct" not in plan_np
+    assert plan_np.count("Exchange hashpartitioning") <= 1
+    plan_hof = _plan(ann.ivf_topk(emb, probes, k=3, n_centroids=8, nprobe=2,
+                                  rerank="hof"))
+    assert "BroadcastHashJoin" in plan_hof
+    assert "CartesianProduct" not in plan_hof
+    assert plan_hof.count("Exchange hashpartitioning") <= 1
 
 
 def test_exact_operators_stay_jvm_side(spark):
