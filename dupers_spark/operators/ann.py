@@ -201,11 +201,23 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int = 64, iters: int = 5,
     floats — driver-sized by construction); the full corpus never leaves
     the executors.
     """
-    rows = (
-        corpus.select(F.col(vec_col).alias("v"),
-                      F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"))
-        .orderBy("h").limit(sample).select("v").collect()
+    # hash-threshold pre-filter before the sort-limit: a bare
+    # orderBy(h).limit(sample) compiles to TakeOrdered, where EVERY task
+    # ships its own top-``sample`` rows to the driver — 32 tasks × 20k
+    # × 2 KB vectors ≈ 1.3 GB, over spark.driver.maxResultSize at a 1M-row
+    # corpus. Keeping only rows with h below the ~1.2·sample/n quantile of
+    # the uniform xxhash64 range first caps the driver transfer at
+    # ~1.2 × sample rows total, at the cost of one cheap count job.
+    n = corpus.count()
+    hashed = corpus.select(
+        F.col(vec_col).alias("v"),
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
     )
+    if n > sample:
+        frac = min(1.0, 1.2 * sample / n)
+        cutoff = int(-(2 ** 63) + frac * 2 ** 64)
+        hashed = hashed.filter(F.col("h") < cutoff)
+    rows = hashed.orderBy("h").limit(sample).select("v").collect()
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(Xn))
