@@ -214,9 +214,13 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int = 64, iters: int = 5,
         F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
     )
     if n > sample:
-        frac = min(1.0, 1.2 * sample / n)
-        cutoff = int(-(2 ** 63) + frac * 2 ** 64)
-        hashed = hashed.filter(F.col("h") < cutoff)
+        frac = 1.2 * sample / n
+        # frac >= 1 would keep every row anyway, and its cutoff
+        # (-2^63 + frac·2^64 ≥ 2^63) overflows a JVM long — skip the filter
+        # entirely in that regime (sample < n ≤ 1.2·sample)
+        if frac < 1.0:
+            cutoff = min(int(-(2 ** 63) + frac * 2 ** 64), 2 ** 63 - 1)
+            hashed = hashed.filter(F.col("h") < cutoff)
     rows = hashed.orderBy("h").limit(sample).select("v").collect()
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)

@@ -25,13 +25,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Γ(u) built from both edge directions; emit (v, m) for v > u.
 
     Hub-safe: the per-node minimum is a primitive ``min`` groupBy joined
     back onto the edge stream — no ``collect_set`` neighbor arrays, so a
     10^8-member star component never concentrates its neighborhood in one
     aggregation buffer (same pattern as exact.dup_edges).
+
+    num_partitions sizes ONE explicit hash repartition on ``u``; the
+    groupBy and the join both reuse that partitioning (Catalyst's
+    EnsureRequirements sees HashPartitioning(u) already satisfied), so the
+    explicit exchange REPLACES the two implicit ones rather than adding a
+    third — and, unlike a session-level ``spark.sql.shuffle.partitions``
+    override, it cannot race with queries planned concurrently on the
+    same session.
     """
     # symmetrize via explode rather than union: a Union inside the iterative
     # join plan trips Catalyst's UnionBase.rewriteConstraints (key-not-found
@@ -45,6 +53,8 @@ def _large_star(edges: DataFrame) -> DataFrame:
             )
         ).alias("e")
     ).select(F.col("e.x").alias("u"), F.col("e.y").alias("v"))
+    if num_partitions:
+        sym = sym.repartition(num_partitions, "u")
     mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
         "u", F.least("mv", "u").alias("m")
     )
@@ -56,15 +66,19 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Canonicalize edges so u > v, attach small neighbors + u to min.
 
-    Hub-safe min+join-back, like :func:`_large_star`. In canonical form all
-    neighbors v < u, so m = min(N(u) ∪ {u}) = min(v).
+    Hub-safe min+join-back, like :func:`_large_star` (including the
+    reused explicit ``u``-hash repartition in place of per-operator
+    shuffles). In canonical form all neighbors v < u, so
+    m = min(N(u) ∪ {u}) = min(v).
     """
     canon = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
+    if num_partitions:
+        canon = canon.repartition(num_partitions, "u")
     mins = canon.groupBy("u").agg(F.min("v").alias("m"))
     # emit (v, m) per neighbor AND (u, m) in one pass — explode instead of a
     # union (both branches would share lineage, which trips Catalyst's Union
@@ -91,7 +105,7 @@ def connected_components(
     Isolated nodes (no pairs) are not emitted — callers union singletons with
     component_id = own id if they need total assignment.
 
-    partitions: shuffle-partition count for the star-round loop; None =
+    partitions: hash-partition count for the star-round loop; None =
     ADAPTIVE, re-derived each barrier from the edge count the convergence
     fingerprint already measures (~50k edges per partition, clamped to
     [2, session ``spark.sql.shuffle.partitions``]). Two failure modes this
@@ -99,9 +113,10 @@ def connected_components(
     leaves converged near-empty rounds latency-bound (2× wall on a
     long-chain graph), while a fixed small count starves early
     compute-bound rounds of parallelism (2 partitions on 8 cores: CC 17.5
-    → 21.8 s). The conf is restored after the loop; the loop is the only
-    query running on the session at that point (CC is a global barrier by
-    nature).
+    → 21.8 s). The count is applied as an explicit ``repartition(n, u)``
+    inside each star operator — never as a session-conf override, so
+    concurrent queries (or a second CC loop) on the same session are
+    unaffected.
     """
     edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).filter(
         F.col("u") != F.col("v")
@@ -128,26 +143,22 @@ def connected_components(
             return partitions
         return max(2, min(session_parts, n_edges // 50_000 + 1))
 
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts(prev[0])))
-    try:
-        for _ in range(max_iter):
-            # two alternating rounds per convergence check — halves the
-            # number of global sync barriers (fingerprint collect +
-            # checkpoint); the star operators are idempotent at the fixpoint
-            # so overshooting one round never changes the result
-            edges2 = _small_star(_large_star(edges))
-            edges2 = _small_star(_large_star(edges2))
-            if checkpoint:
-                edges2 = edges2.localCheckpoint()
-            cur = fingerprint(edges2)
-            edges = edges2
-            if cur == prev:
-                break
-            prev = cur
-            spark.conf.set("spark.sql.shuffle.partitions",
-                           str(loop_parts(cur[0])))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+    n_parts = loop_parts(prev[0])
+    for _ in range(max_iter):
+        # two alternating rounds per convergence check — halves the
+        # number of global sync barriers (fingerprint collect +
+        # checkpoint); the star operators are idempotent at the fixpoint
+        # so overshooting one round never changes the result
+        edges2 = _small_star(_large_star(edges, n_parts), n_parts)
+        edges2 = _small_star(_large_star(edges2, n_parts), n_parts)
+        if checkpoint:
+            edges2 = edges2.localCheckpoint()
+        cur = fingerprint(edges2)
+        edges = edges2
+        if cur == prev:
+            break
+        prev = cur
+        n_parts = loop_parts(cur[0])
 
     # star forest: u → root(v); roots also label themselves
     members = edges.select(F.col("u").alias("image_id"), F.col("v").alias("component_id"))

@@ -160,8 +160,11 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
     differs ≤ r overall, hence ≤ r on the remaining bits, hence agrees
     exactly on ≥ 1 sub-block (HmSearch-style multi-index re-probe) — so
     recursion preserves perfect recall while bucket sizes shrink by
-    ~2^(bits/(r+1)) per level. Only depth-capped or bit-exhausted groups
-    (true sig floods) are drop-accounted. Duplicate pairs across
+    ~2^(bits/(r+1)) per level. Groups whose members are PROVABLY all
+    mutual within-radius pairs (identical-sig floods; bit-exhausted
+    groups with ≤ radius bits left) are star-connected to their min rep
+    (cluster recall intact, O(m) edges) and accounted; only depth-capped
+    groups are drop-accounted without edges. Duplicate pairs across
     sub-blocks are deduped by the caller's .distinct().
     """
     import numpy as np
@@ -208,12 +211,35 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
                 a_out.append(ids[ii])
                 b_out.append(ids[jj])
 
+            def emit_star(ids: np.ndarray) -> None:
+                # every member paired to the min id — O(m) edges in place
+                # of the O(m²) triu; used ONLY where every pair in the
+                # group is provably within the radius, so each star edge
+                # is a true pair and the group stays one component
+                ids = np.sort(ids)
+                a_out.append(np.repeat(ids[:1], len(ids) - 1))
+                b_out.append(ids[1:])
+
             def expand(ids, usigs, remaining, depth, band0, key0):
                 m = len(ids)
                 if m <= max_bucket:
                     emit_pairs(ids)
                     return
-                if depth >= max_depth or remaining.size == 0:
+                if remaining.size <= radius:
+                    # bit exhaustion — also the (0, radius] regime where
+                    # array_split would yield < radius+1 non-empty chunks
+                    # and the ≥1-agreeing-chunk guarantee breaks. Here any
+                    # pair agrees on ALL used bits and can differ on at
+                    # most remaining.size ≤ radius bits, so EVERY pair in
+                    # the group is a true within-radius pair; enumerating
+                    # them is the O(m²) flood the cap exists to prevent.
+                    # Star-connect to the min rep (cluster recall intact,
+                    # verify passes each edge) + account the bucket so the
+                    # non-exhaustive enumeration is never silent.
+                    emit_star(ids)
+                    drop_rows.append((band0, key0, int(m)))
+                    return
+                if depth >= max_depth:
                     drop_rows.append((band0, key0, int(m)))
                     return
                 chunks = [c for c in np.array_split(remaining, radius + 1)
@@ -236,7 +262,12 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
                     per_chunk.append((chunk, order, rs_, re_))
                 if not split_any:
                     # identical on every remaining bit (an exact-sig flood
-                    # that escaped collapse) — recursion can never shrink it
+                    # that escaped collapse) — recursion can never shrink
+                    # it, but all members are mutual distance-0 dups: a
+                    # star to the min rep keeps them one component (and
+                    # survives verify at dist 0) without the O(m²) triu.
+                    # Accounted, since pair enumeration is not exhaustive.
+                    emit_star(ids)
                     drop_rows.append((band0, key0, int(m)))
                     return
                 for chunk, order, rs_, re_ in per_chunk:

@@ -106,15 +106,28 @@ SA_SCHEMA = T.StructType([
 
 
 def build_suffix_index(df: DataFrame, id_col: str = "image_id",
-                       text_col: str = "caption", shards: int | None = None) -> DataFrame:
+                       text_col: str = "caption", shards: int | None = None,
+                       target_shard_bytes: int = 256 << 20) -> DataFrame:
     """One suffix array per shard over concatenated docs.
 
-    applyInPandas-per-shard: numpy lexicographic suffix sort. At 100 TB the
-    per-shard text must be bounded — shards = total_text / ~256 MB; the
-    build is one shuffle + embarrassingly parallel sorts.
+    applyInPandas-per-shard: numpy lexicographic suffix sort. The build is
+    one shuffle + embarrassingly parallel sorts.
+
+    Shard count is sized from DATA VOLUME, not core count: each shard
+    stores its whole concatenation as one string row, and a single value
+    has hard ~2 GB JVM/Arrow limits long before executor memory matters —
+    a parallelism-derived count would blow through that at 100× scale.
+    shards = ⌈Σ octet_length(text) / target_shard_bytes⌉ (floored at the
+    session's parallelism so small corpora still build in parallel); the
+    sizing agg is one column-pruned scan, paid once per index build.
     """
     if shards is None:
-        shards = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+        total_bytes = df.select(
+            F.sum(F.octet_length(F.col(text_col).cast("string"))).alias("b")
+        ).collect()[0]["b"] or 0
+        by_volume = -(-int(total_bytes) // target_shard_bytes)  # ceil
+        shards = max(df.sparkSession.sparkContext.defaultParallelism,
+                     4, by_volume)
 
     sharded = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int").alias("shard_id"),

@@ -63,8 +63,11 @@ def hamming_candidates(reps: DataFrame, radius: int = 3,
     48 sig bits (r+1 sub-blocks per level — any within-radius pair agrees
     exactly on ≥1, HmSearch-style), so recall stays perfect past the
     n ≈ max_bucket·2^16 saturation point where drop-mode would shed
-    typical buckets; only depth-capped identical-sig floods are dropped,
-    with accounting.
+    typical buckets. Identical-sig floods (callers that skip
+    collapse_exact_sig) are star-connected to their min rep — all members
+    are mutual distance-0 dups, so clusters stay whole — with the bucket
+    accounted in ``dropped`` because pair ENUMERATION is non-exhaustive
+    there; only depth-capped mixed groups lose pairs, always accounted.
 
     With refinement, max_bucket is a COST dial, not a recall dial: a
     bucket at the cap emits cap²/2 candidate pairs wholesale, while a

@@ -44,6 +44,15 @@ class PipelineConfig:
     # plus a sampled decoded-pixel PSNR invariant stage.
     fast: bool = True
     psnr_sample: float = 0.05
+    # resume-fingerprint strength over the bytes column:
+    #   "fast" — xxhash64(length(bytes)): catches size-changing edits; a
+    #            same-length byte edit that also preserves caption AND phash
+    #            escapes it (phash normally derives from the pixels, so in
+    #            practice only adversarial edits do).
+    #   "full" — xxhash64(bytes): content-exact, reads every payload byte on
+    #            every invocation including resumes. Opt in when the phash
+    #            column is untrusted or absent.
+    fingerprint: str = "fast"
 
     def config_hash(self) -> str:
         blob = json.dumps(
@@ -66,6 +75,16 @@ def compact_stage(spark: SparkSession, path: str,
     """
     import glob
     import shutil
+
+    # heal a crash inside a previous swap's rename window: if the stage dir
+    # is missing but its .old backup exists, the backup is the only complete
+    # copy — restore it before compacting (mirrors StageStore._heal)
+    old0 = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old0):
+        stale = path.rstrip("/") + ".compact"
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        os.rename(old0, path)
 
     files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
                                   recursive=True) if os.path.isfile(f)]
@@ -170,15 +189,19 @@ class DedupPipeline:
         # input identity for resume safety: row count + order-independent
         # xor of row-content hashes. Content columns (caption, phash, byte
         # LENGTH) are folded in so a rerun against same-ids-different-rows
-        # rebuilds instead of silently reusing stale stages. Full-byte
-        # hashing is deliberately NOT done here — the fingerprint runs on
+        # rebuilds instead of silently reusing stale stages. Default "fast"
+        # mode hashes length(bytes), not content — the fingerprint runs on
         # every invocation including resumes, and reading the whole corpus
         # to decide "skip" would cost what the resume saves; length+phash
         # catch byte edits in practice (phash derives from the pixels).
+        # cfg.fingerprint="full" hashes the bytes themselves for pipelines
+        # whose phash column is untrusted.
+        bytes_expr = ("xxhash64(bytes)" if self.cfg.fingerprint == "full"
+                      else "xxhash64(length(bytes))")
         fp_cols = ["xxhash64(image_id)"]
         for c, expr in [("caption", "xxhash64(caption)"),
                         ("phash", "xxhash64(phash)"),
-                        ("bytes", "xxhash64(length(bytes))")]:
+                        ("bytes", bytes_expr)]:
             if c in images.columns:
                 fp_cols.append(expr)
         fp_expr = f"bit_xor(xxhash64({', '.join(fp_cols)}))"

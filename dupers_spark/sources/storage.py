@@ -51,6 +51,26 @@ class StageStore:
     def path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
 
+    def _heal(self, name: str) -> None:
+        """Recover from a crash inside the rename-aside window.
+
+        The swap in :meth:`write` has one vulnerable instant: after
+        ``rename(final, .old)`` but before ``rename(.staging, final)`` the
+        only complete copy of the stage lives in ``.old``. If a crash landed
+        there, every subsequent read/resume would fail until a rebuild —
+        and the next write would delete the ``.old`` backup before the new
+        data had replaced it. Detect "final missing but .old present" and
+        restore the backup first; a leftover ``.staging`` from the same
+        crash is unverified and discarded.
+        """
+        final = self.path(name)
+        old = final + ".old"
+        if not os.path.exists(final) and os.path.exists(old):
+            tmp = final + ".staging"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.rename(old, final)
+
     def _ident(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
 
@@ -70,6 +90,7 @@ class StageStore:
         # new directory at every instant except the two renames, so a crash
         # fails safe to a rebuild, never a half-written stage (the
         # Iceberg-snapshot-replace equivalent)
+        self._heal(name)
         final = self.path(name)
         tmp = final + ".staging"
         writer = df.write.mode("overwrite")
@@ -88,11 +109,13 @@ class StageStore:
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(self._ident(name))
+        self._heal(name)
         return self.spark.read.parquet(self.path(name))
 
     def exists(self, name: str) -> bool:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(self._ident(name))
+        self._heal(name)
         return os.path.exists(self.path(name))
 
     def drop(self, name: str) -> None:

@@ -172,3 +172,16 @@ def test_brute_force_np_matches_hof(spark, embeddings):
     for k2 in hof_m:
         assert hof_m[k2][0] == np_m[k2][0]
         assert abs(hof_m[k2][1] - np_m[k2][1]) < 1e-6
+
+
+def test_ivf_centroids_sample_boundary(spark):
+    """n in (sample, 1.2·sample]: the keep-fraction clamps to ≥1, whose
+    cutoff (-2^63 + frac·2^64 ≥ 2^63) overflows a JVM long — the pre-filter
+    must be skipped entirely in that regime, not crash the index build."""
+    rows = [(i, [float(i % 7) + 0.1, 1.0, float(i % 3)]) for i in range(45)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    C = ann.ivf_centroids(df, n_centroids=4, sample=40)
+    assert C.shape == (4, 3)
+    # the filtered regime (frac < 1) still works on the same corpus
+    C2 = ann.ivf_centroids(df, n_centroids=4, sample=10)
+    assert C2.shape == (4, 3)

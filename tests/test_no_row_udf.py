@@ -21,13 +21,15 @@ def test_no_collect_in_operators():
     """Operators must stay distributed — driver-side .collect() loops are
     forbidden in the operator layer (allowed in tests/bench only).
     Sanctioned uses: connected_components' convergence aggregate
-    (components.py) and three bounded collects in ann.py —
+    (components.py), three bounded collects in ann.py —
     brute_force_topk_np's probe matrix (small by contract, broadcast),
     ivf_centroids' hash-ordered LIMIT-``sample`` training rows, and
-    ivf_topk's probe matrix (same contract as brute_force_topk_np)."""
+    ivf_topk's probe matrix (same contract as brute_force_topk_np) — and
+    build_suffix_index's one-row Σ octet_length sizing aggregate
+    (search.py), which bounds each shard's concat string by data volume."""
     # exact expected counts, not whole-file exemptions: a NEW collect added
-    # to components.py or ann.py must fail this gate until adjudicated here
-    allowed_counts = {"components.py": 1, "ann.py": 3}
+    # to these files must fail this gate until adjudicated here
+    allowed_counts = {"components.py": 1, "ann.py": 3, "search.py": 1}
     offenders = []
     for py in (PKG / "operators").glob("*.py"):
         n = py.read_text().count(".collect()")

@@ -92,3 +92,53 @@ def test_metrics_and_lineage_tables_written(spark, images):
             assert r["config_hash"] == cfg.config_hash()
             assert r["input_fp"] == p._input_fp
             assert r["rows"] >= 0
+
+
+def test_fingerprint_full_detects_samelength_byte_edit(spark, images):
+    """A same-length byte edit that preserves caption AND phash escapes the
+    default "fast" fingerprint (documented tradeoff: it hashes
+    length(bytes), not content) but must force a rebuild under
+    fingerprint="full"."""
+    some_id = images.select("image_id").orderBy("image_id").limit(1).collect()[0][0]
+    # rotate the payload one byte: same length, same caption, same phash col
+    edited = images.withColumn(
+        "bytes",
+        F.when(
+            F.col("image_id") == some_id,
+            F.concat(F.expr("substring(bytes, 2)"),
+                     F.expr("substring(bytes, 1, 1)")),
+        ).otherwise(F.col("bytes")),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        cfg_fast = PipelineConfig(warehouse=os.path.join(td, "wh_fastfp"))
+        DedupPipeline(spark, cfg_fast).run(images)
+        p2 = DedupPipeline(spark, cfg_fast)
+        p2.run(edited)
+        assert any(m.get("resumed") for m in p2.metrics)  # the documented gap
+
+        cfg_full = PipelineConfig(warehouse=os.path.join(td, "wh_fullfp"),
+                                  fingerprint="full")
+        DedupPipeline(spark, cfg_full).run(images)
+        p4 = DedupPipeline(spark, cfg_full)
+        p4.run(edited)
+        assert not any(m.get("resumed") for m in p4.metrics)  # rebuilt
+        # and an unchanged rerun still resumes under "full"
+        p5 = DedupPipeline(spark, cfg_full)
+        p5.run(edited)
+        assert any(m.get("resumed") for m in p5.metrics)
+
+
+def test_compact_heals_crashed_swap(spark):
+    """compact_stage after a crash inside a previous swap's rename window
+    (stage dir missing, .old backup present) must restore the backup and
+    proceed instead of failing on the missing directory."""
+    from dupers_spark.plans.pipeline import compact_stage
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "stage")
+        spark.range(100).repartition(8).write.parquet(path)
+        os.rename(path, path + ".old")
+        res = compact_stage(spark, path, target_file_bytes=10 ** 9)
+        assert res["rows"] == 100
+        assert res["files_after"] == 1
+        assert not os.path.exists(path + ".old")

@@ -70,3 +70,24 @@ def test_suffix_probe_heavy_term_is_vectorized(spark):
     probe_sec = time.time() - t0
     assert len(hits) == 2000
     assert probe_sec < 10, f"probe took {probe_sec:.1f}s — occurrence walk?"
+
+
+def test_suffix_shards_sized_by_bytes(spark):
+    """Shard count must derive from text VOLUME (bounding each shard's
+    single concat string) — not from core count, which would let one
+    shard's concat grow past JVM/Arrow single-value limits at scale."""
+    from dupers_spark.operators.search import build_suffix_index, query_suffix_index
+
+    docs = spark.range(200).selectExpr(
+        "concat('doc_', lpad(cast(id as string), 4, '0')) AS image_id",
+        "concat(repeat('x', 999), case when id = 7 then 'Q' else 'y' end) AS caption",
+    )
+    # 200 KB of text at a 10 KB target → ~20 shards, above the 8-core floor
+    idx = build_suffix_index(docs, target_shard_bytes=10_000)
+    shards = idx.select("shard_id").distinct().count()
+    assert shards >= 15
+    # every shard's concat stays near the target, far below the value cap
+    max_len = idx.selectExpr("max(length(concat)) AS m").collect()[0]["m"]
+    assert max_len < 50_000
+    hits = query_suffix_index(idx, "xQ").collect()
+    assert [r["doc_id"] for r in hits] == ["doc_0007"]

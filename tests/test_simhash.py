@@ -101,3 +101,53 @@ def test_full_edges_cluster_exact_and_near(spark, images_small):
     }
     # same-pixel trio always one cluster
     assert comp["img_00000000"] == comp["img_00000001"] == comp["img_00000002"]
+
+def test_identical_sig_flood_star_connects(spark):
+    """>max_bucket IDENTICAL sigs without collapse_exact_sig: the distance-0
+    true pairs must not vanish. The flood is star-connected to its min rep
+    (one component, verify passes at dist 0) and accounted in dropped,
+    since pair enumeration there is non-exhaustive by design."""
+    n = 120
+    rows = [(f"id_{i:04d}", 0x0123456789ABCDE0 + 7) for i in range(n)]
+    reps = spark.createDataFrame(rows, "rep_id string, sig long")
+    cands, dropped = sh.hamming_candidates(reps, RADIUS, max_bucket=50)
+    got = {(r["a"], r["b"]) for r in cands.collect()}
+    want = {("id_0000", f"id_{i:04d}") for i in range(1, n)}
+    assert got == want  # the star, deduped across the 4 pigeonhole blocks
+    assert dropped.count() > 0
+    verified = sh.verify_hamming(cands, reps, RADIUS)
+    assert verified.count() == n - 1  # every star edge is a dist-0 pair
+    from dupers_spark.operators.components import connected_components
+
+    comp = connected_components(verified.select("a", "b"))
+    assert comp.select("component_id").distinct().count() == 1
+    assert comp.count() == n
+
+
+def test_pigeonhole_bit_exhaustion_keeps_pairs(spark):
+    """Deep refinement down to ≤ radius remaining bits: array_split would
+    yield < radius+1 non-empty chunks and the ≥1-agreeing-chunk guarantee
+    breaks — the exhaustion guard must star-connect the group (every pair
+    there is provably within the radius) instead of recursing into silent
+    pair loss. Two sig values A, B at Hamming distance 3, two rows each,
+    max_bucket=1 forces refinement all the way down."""
+    from dupers_spark.operators.minhash_lsh import grouped_pair_expansion
+
+    A = (0x5A5A5A5A5A5A << 16) | 42
+    B = A ^ ((1 << 16) | (1 << 30) | (1 << 44))
+    rows = [("a1", 0, 42, A), ("a2", 0, 42, A),
+            ("b1", 0, 42, B), ("b2", 0, 42, B)]
+    buckets = spark.createDataFrame(
+        rows, "rep_id string, band int, key long, sig long")
+    pairs, dropped = grouped_pair_expansion(
+        buckets, max_bucket=1, radius=RADIUS, max_depth=30)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # exhaustion star from the 4-group + identical-sig stars of each value
+    assert {("a1", "a2"), ("a1", "b1"), ("a1", "b2"), ("b1", "b2")} <= got
+    assert dropped.count() > 0  # non-exhaustive enumeration is accounted
+    from dupers_spark.operators.components import connected_components
+
+    comp = connected_components(
+        spark.createDataFrame(sorted(got), "a string, b string"))
+    assert comp.select("component_id").distinct().count() == 1
+    assert comp.count() == 4

@@ -33,3 +33,23 @@ def test_iceberg_probe_is_honest(spark):
     # this container ships no Iceberg jars: the probe must say so (and the
     # store must have selected the parquet path)
     assert iceberg_available(spark) is False
+
+
+def test_heal_restores_backup_after_crash_window(spark, tmp_path):
+    """Crash between rename(final, .old) and rename(.staging, final): the
+    only complete copy is .old — read/exists/write must restore it (and a
+    subsequent write must not delete the backup before replacing it)."""
+    store = StageStore(spark, str(tmp_path))
+    store.write("t4", spark.range(7).selectExpr("id"))
+    final = store.path("t4")
+    os.rename(final, final + ".old")
+    os.makedirs(final + ".staging")  # unverified leftover from the crash
+    assert store.exists("t4")        # probe heals
+    assert store.read("t4").count() == 7
+    assert not os.path.exists(final + ".old")
+    assert not os.path.exists(final + ".staging")
+    # same crash state, then a write: backup must survive into the swap
+    os.rename(final, final + ".old")
+    store.write("t4", spark.range(2).selectExpr("id"))
+    assert store.read("t4").count() == 2
+    assert not os.path.exists(final + ".old")
