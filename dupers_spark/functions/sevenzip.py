@@ -5,13 +5,18 @@ pkg/dupe/internal/archive/archive.go:42-68). This container ships no py7zr
 and no 7z binary, so this module implements the subset of the public 7z
 container format (7zFormat.txt, LZMA SDK) needed to hash members:
 
-  reader: non-encoded headers; folders with ONE coder that is Copy (store),
-          LZMA2, or LZMA1; multiple folders; substream splitting; empty
-          files/streams. Encoded (kEncodedHeader) or multi-coder archives
-          raise ``Unsupported7z`` — the archive operator surfaces that as an
-          accounted error row, never a silent skip.
-  writer: one folder per member, Copy or LZMA2 (for round-trip tests and
-          for emitting interchange archives without external tools).
+  reader: plain AND encoded (kEncodedHeader — modern 7-Zip's default)
+          headers; folders whose coders form a LINEAR chain of Copy
+          (store), LZMA2, LZMA1, Delta, or BCJ branch filters (x86 / ARM /
+          ARMT / PPC / SPARC / IA64); multiple folders; substream
+          splitting; empty files/streams. Still outside the subset — BCJ2
+          (multi-input coders / multiple pack streams per folder), external
+          streams, unknown coder ids — raises ``Unsupported7z``; the
+          archive operator surfaces that as an accounted error row, never a
+          silent skip.
+  writer: one folder per member, Copy or LZMA2, plain or encoded header
+          (for round-trip tests and for emitting interchange archives
+          without external tools).
 
 Everything here is pure CPU over in-memory bytes — it runs inside the same
 Arrow-batched mapInPandas explode as the zip/tar readers (operators/
@@ -106,27 +111,219 @@ class _Reader:
         return self.bits(n)
 
 
-def _decode_folder_coder(coder_id: bytes, props: bytes, packed: bytes,
-                         unpack_size: int) -> bytes:
-    if coder_id == CODER_COPY:
-        return packed[:unpack_size]
+# branch (BCJ) and delta filter coder ids → stdlib lzma filter ids; these
+# decode as raw filter CHAINS ([branch/delta, lzma] in compression order)
+CODER_DELTA = b"\x03"
+_BRANCH_CODERS = {
+    b"\x03\x03\x01\x03": lzma.FILTER_X86,
+    b"\x03\x03\x02\x05": lzma.FILTER_POWERPC,
+    b"\x03\x03\x04\x01": lzma.FILTER_IA64,
+    b"\x03\x03\x05\x01": lzma.FILTER_ARM,
+    b"\x03\x03\x07\x01": lzma.FILTER_ARMTHUMB,
+    b"\x03\x03\x08\x05": lzma.FILTER_SPARC,
+}
+
+
+def _filter_spec(coder_id: bytes, props: bytes) -> dict:
+    """Map a 7z coder id + its properties to a stdlib lzma raw-filter dict."""
     if coder_id == CODER_LZMA2:
-        filt = lzma._decode_filter_properties(lzma.FILTER_LZMA2, props)
-        dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
-        return dec.decompress(packed, max_length=unpack_size)
+        return lzma._decode_filter_properties(lzma.FILTER_LZMA2, props)
     if coder_id == CODER_LZMA1:
-        filt = lzma._decode_filter_properties(lzma.FILTER_LZMA1, props)
-        dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
-        return dec.decompress(packed, max_length=unpack_size)
+        return lzma._decode_filter_properties(lzma.FILTER_LZMA1, props)
+    if coder_id == CODER_DELTA:
+        return {"id": lzma.FILTER_DELTA,
+                "dist": (props[0] + 1) if props else 1}
+    if coder_id in _BRANCH_CODERS:
+        fid = _BRANCH_CODERS[coder_id]
+        if props:
+            return lzma._decode_filter_properties(fid, props)
+        return {"id": fid}
     raise Unsupported7z(f"7z coder {coder_id.hex()} unsupported "
-                        "(supported: copy, lzma, lzma2)")
+                        "(supported: copy, lzma, lzma2, delta, BCJ branches)")
+
+
+def _folder_chain(folder: dict) -> list[int]:
+    """Coder indices in decode order (packed stream first → final output).
+
+    Supported folders are LINEAR chains of simple (1-in/1-out) coders: the
+    bind pairs then form a path — in-stream i of coder i consumes the
+    out-stream of exactly one earlier/later coder, and exactly one
+    out-stream is unbound (the folder's output). BCJ2-style folders (a
+    coder with several inputs, several pack streams) raise before here.
+    """
+    binds = folder["binds"]
+    n = len(folder["coders"])
+    consumed_out = {o for _i, o in binds}
+    finals = [j for j in range(n) if j not in consumed_out]
+    if len(finals) != 1:
+        raise Bad7z("7z folder is not a single-output chain")
+    in_to_src = dict(binds)  # in-stream index (== coder index) → source out
+    order = []
+    cur = finals[0]
+    for _ in range(n):
+        order.append(cur)
+        if cur not in in_to_src:
+            break
+        cur = in_to_src[cur]
+    else:
+        raise Bad7z("7z folder bind pairs contain a cycle")
+    if len(order) != n:
+        raise Bad7z("7z folder bind pairs do not form one chain")
+    return list(reversed(order))
+
+
+def _decode_folder(folder: dict, packed: bytes) -> bytes:
+    """Decode one folder's packed stream through its full coder chain."""
+    order = _folder_chain(folder)
+    coders = [folder["coders"][i] for i in order]
+    unpack_size = folder["out_sizes"][order[-1]]
+    if coders[0]["id"] == CODER_COPY:
+        if len(coders) != 1:
+            raise Unsupported7z("7z copy coder inside a chain unsupported")
+        return packed[:unpack_size]
+    # lzma raw filters are listed in COMPRESSION order — the reverse of the
+    # decode walk (packed → lzma → branch/delta → output)
+    filters = [_filter_spec(c["id"], c["props"]) for c in reversed(coders)]
+    dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=filters)
+    return dec.decompress(packed, max_length=unpack_size)
+
+
+def _folder_unpack_size(folder: dict) -> int:
+    """The folder's final-output size (the out stream no bind pair consumes)."""
+    return folder["out_sizes"][_folder_chain(folder)[-1]]
+
+
+def _read_streams_info(r: _Reader) -> dict:
+    """Parse a StreamsInfo block: PackInfo + UnpackInfo + SubStreamsInfo.
+
+    Shared by kMainStreamsInfo and the kEncodedHeader stream description —
+    the encoded header is just one more folder whose output happens to be
+    the real header. Consumes up to and including the block's kEnd."""
+    pack_sizes: list[int] = []
+    pack_pos = 0
+    folders: list[dict] = []
+    num_unpack_streams: list[int] = []
+    substream_sizes: list[int] | None = None
+
+    tid = r.number()
+    if tid == K_PACK_INFO:
+        pack_pos = r.number()
+        n_pack = r.number()
+        while True:
+            t = r.number()
+            if t == K_END:
+                break
+            if t == K_SIZE:
+                pack_sizes = [r.number() for _ in range(n_pack)]
+            elif t == K_CRC:
+                defined = r.bits_or_all(n_pack)
+                r.bytes_(4 * sum(defined))
+            else:
+                raise Bad7z(f"unexpected id {t:#x} in PackInfo")
+        tid = r.number()
+    if tid == K_UNPACK_INFO:
+        if r.number() != K_FOLDER:
+            raise Bad7z("UnpackInfo without kFolder")
+        n_folders = r.number()
+        if r.byte() != 0:
+            raise Unsupported7z("external folder definitions unsupported")
+        for _ in range(n_folders):
+            n_coders = r.number()
+            coders = []
+            for _ in range(n_coders):
+                flags = r.byte()
+                cid = r.bytes_(flags & 0x0F)
+                if flags & 0x10:  # complex coder: >1 in/out streams (BCJ2)
+                    raise Unsupported7z("complex 7z coders unsupported")
+                props = r.bytes_(r.number()) if flags & 0x20 else b""
+                coders.append({"id": cid, "props": props})
+            # simple coders: total out = n_coders → n_coders-1 bind pairs
+            binds = [(r.number(), r.number()) for _ in range(n_coders - 1)]
+            if n_coders - len(binds) > 1:  # num pack streams per folder
+                raise Unsupported7z("multi-pack-stream 7z folders unsupported")
+            folders.append({"coders": coders, "binds": binds})
+        if r.number() != K_CODERS_UNPACK_SIZE:
+            raise Bad7z("missing kCodersUnpackSize")
+        for f in folders:
+            # one size per out stream == one per (simple) coder
+            f["out_sizes"] = [r.number() for _ in f["coders"]]
+            f["unpack_size"] = _folder_unpack_size(f)
+        while True:
+            t = r.number()
+            if t == K_END:
+                break
+            if t == K_CRC:
+                defined = r.bits_or_all(len(folders))
+                r.bytes_(4 * sum(defined))
+            else:
+                raise Bad7z(f"unexpected id {t:#x} in UnpackInfo")
+        tid = r.number()
+    if tid == K_SUBSTREAMS_INFO:
+        t = r.number()
+        if t == K_NUM_UNPACK_STREAM:
+            num_unpack_streams = [r.number() for _ in folders]
+            t = r.number()
+        else:
+            num_unpack_streams = [1] * len(folders)
+        if t == K_SIZE:
+            # sizes for all but the LAST substream of each folder
+            substream_sizes = []
+            for f, cnt in zip(folders, num_unpack_streams):
+                given = [r.number() for _ in range(cnt - 1)]
+                substream_sizes.extend(given + [f["unpack_size"] - sum(given)])
+            t = r.number()
+        if t == K_CRC:
+            total = sum(num_unpack_streams)
+            defined = r.bits_or_all(total)
+            r.bytes_(4 * sum(defined))
+            t = r.number()
+        if t != K_END:
+            raise Bad7z(f"unexpected id {t:#x} in SubStreamsInfo")
+        tid = r.number()
+    if tid != K_END:
+        raise Bad7z(f"unexpected id {tid:#x} in StreamsInfo")
+    if not num_unpack_streams:
+        num_unpack_streams = [1] * len(folders)
+    if substream_sizes is None:
+        substream_sizes = [f["unpack_size"] for f in folders]
+    return {
+        "pack_pos": pack_pos,
+        "pack_sizes": pack_sizes,
+        "folders": folders,
+        "num_unpack_streams": num_unpack_streams,
+        "substream_sizes": substream_sizes,
+    }
+
+
+def _decode_payloads(data: bytes, si: dict) -> list[bytes]:
+    """Decode every folder's packed stream → unpacked payload per folder."""
+    if len(si["pack_sizes"]) != len(si["folders"]):
+        # 1 pack stream per supported folder (multi-pack folders raised
+        # already) — a mismatch means bound streams we don't model
+        raise Unsupported7z("pack-stream/folder mismatch (bound streams?)")
+    payloads: list[bytes] = []
+    off = 32 + si["pack_pos"]
+    for f, psize in zip(si["folders"], si["pack_sizes"]):
+        packed = data[off: off + psize]
+        if len(packed) != psize:
+            raise Bad7z("truncated 7z pack stream")
+        off += psize
+        out = _decode_folder(f, packed)
+        if len(out) != f["unpack_size"]:
+            raise Bad7z("7z folder decoded to wrong size")
+        payloads.append(out)
+    return payloads
 
 
 def read_7z(data: bytes) -> list[tuple[str, bytes]]:
     """→ [(member_name, member_bytes)] in archive order.
 
-    Raises Bad7z on malformed input, Unsupported7z on valid-but-exotic
-    archives (encoded header, multi-coder folders, external streams).
+    Reads plain AND encoded (kEncodedHeader — modern 7-Zip's default,
+    where the header itself is an LZMA-compressed stream) headers, and
+    folders whose coders form a linear chain of Copy / LZMA1 / LZMA2 /
+    Delta / BCJ-branch filters. Raises Bad7z on malformed input,
+    Unsupported7z on valid-but-exotic archives (BCJ2 multi-input coders,
+    external streams, unknown coder ids).
     """
     if data[:6] != SIGNATURE:
         raise Bad7z("missing 7z signature")
@@ -140,96 +337,30 @@ def read_7z(data: bytes) -> list[tuple[str, bytes]]:
     if not header:
         return []
     r = _Reader(header)
-    tid = r.number()
-    if tid == K_ENCODED_HEADER:
-        raise Unsupported7z("7z encoded (compressed) header unsupported")
-    if tid != K_HEADER:
-        raise Bad7z(f"unexpected 7z header id {tid:#x}")
-
-    pack_sizes: list[int] = []
-    pack_pos = 0
-    folders: list[dict] = []
-    num_unpack_streams: list[int] = []
-    substream_sizes: list[int] | None = None
-
-    tid = r.number()
-    if tid == K_MAIN_STREAMS:
+    try:
         tid = r.number()
-        if tid == K_PACK_INFO:
-            pack_pos = r.number()
-            n_pack = r.number()
-            while True:
-                t = r.number()
-                if t == K_END:
-                    break
-                if t == K_SIZE:
-                    pack_sizes = [r.number() for _ in range(n_pack)]
-                elif t == K_CRC:
-                    defined = r.bits_or_all(n_pack)
-                    r.bytes_(4 * sum(defined))
-                else:
-                    raise Bad7z(f"unexpected id {t:#x} in PackInfo")
+        if tid == K_ENCODED_HEADER:
+            # the remainder is a StreamsInfo describing how the REAL header
+            # was packed — decode it through the same folder machinery,
+            # then restart the parse on the decoded bytes
+            hdr_si = _read_streams_info(r)
+            header = b"".join(_decode_payloads(data, hdr_si))
+            r = _Reader(header)
             tid = r.number()
-        if tid == K_UNPACK_INFO:
-            if r.number() != K_FOLDER:
-                raise Bad7z("UnpackInfo without kFolder")
-            n_folders = r.number()
-            if r.byte() != 0:
-                raise Unsupported7z("external folder definitions unsupported")
-            for _ in range(n_folders):
-                n_coders = r.number()
-                if n_coders != 1:
-                    raise Unsupported7z("multi-coder 7z folders unsupported")
-                flags = r.byte()
-                cid = r.bytes_(flags & 0x0F)
-                if flags & 0x10:  # complex coder
-                    raise Unsupported7z("complex 7z coders unsupported")
-                props = r.bytes_(r.number()) if flags & 0x20 else b""
-                folders.append({"coder": cid, "props": props})
-            if r.number() != K_CODERS_UNPACK_SIZE:
-                raise Bad7z("missing kCodersUnpackSize")
-            for f in folders:
-                f["unpack_size"] = r.number()  # 1 coder → 1 out stream
-            while True:
-                t = r.number()
-                if t == K_END:
-                    break
-                if t == K_CRC:
-                    defined = r.bits_or_all(len(folders))
-                    r.bytes_(4 * sum(defined))
-                else:
-                    raise Bad7z(f"unexpected id {t:#x} in UnpackInfo")
-            tid = r.number()
-        if tid == K_SUBSTREAMS_INFO:
-            t = r.number()
-            if t == K_NUM_UNPACK_STREAM:
-                num_unpack_streams = [r.number() for _ in folders]
-                t = r.number()
-            else:
-                num_unpack_streams = [1] * len(folders)
-            if t == K_SIZE:
-                # sizes for all but the LAST substream of each folder
-                substream_sizes = []
-                for f, cnt in zip(folders, num_unpack_streams):
-                    given = [r.number() for _ in range(cnt - 1)]
-                    substream_sizes.extend(given + [f["unpack_size"] - sum(given)])
-                t = r.number()
-            if t == K_CRC:
-                total = sum(num_unpack_streams)
-                defined = r.bits_or_all(total)
-                r.bytes_(4 * sum(defined))
-                t = r.number()
-            if t != K_END:
-                raise Bad7z(f"unexpected id {t:#x} in SubStreamsInfo")
-            tid = r.number()
-        if tid != K_END:
-            raise Bad7z(f"unexpected id {tid:#x} in MainStreamsInfo")
+        if tid != K_HEADER:
+            raise Bad7z(f"unexpected 7z header id {tid:#x}")
+
+        si = {"pack_pos": 0, "pack_sizes": [], "folders": [],
+              "num_unpack_streams": [], "substream_sizes": []}
         tid = r.number()
-    if not num_unpack_streams:
-        num_unpack_streams = [1] * len(folders)
-    if substream_sizes is None:
-        substream_sizes = [f["unpack_size"] for f in folders
-                           for _ in range(1)]  # 1 substream per folder
+        if tid == K_MAIN_STREAMS:
+            si = _read_streams_info(r)
+            tid = r.number()
+    except IndexError as exc:  # _Reader ran off the end of the header
+        raise Bad7z("truncated 7z header") from exc
+    folders = si["folders"]
+    num_unpack_streams = si["num_unpack_streams"]
+    substream_sizes = si["substream_sizes"]
 
     names: list[str] = []
     empty_stream: list[bool] = []
@@ -261,21 +392,7 @@ def read_7z(data: bytes) -> list[tuple[str, bytes]]:
         raise Bad7z("7z name count mismatch")
 
     # decode folders → concatenated unpacked payload per folder
-    if len(pack_sizes) != len(folders):
-        # 1 coder/folder ⇒ 1 pack stream/folder in the supported subset
-        raise Unsupported7z("pack-stream/folder mismatch (bound streams?)")
-    payloads: list[bytes] = []
-    off = 32 + pack_pos
-    for f, psize in zip(folders, pack_sizes):
-        packed = data[off: off + psize]
-        if len(packed) != psize:
-            raise Bad7z("truncated 7z pack stream")
-        off += psize
-        out = _decode_folder_coder(f["coder"], f["props"], packed,
-                                   f["unpack_size"])
-        if len(out) != f["unpack_size"]:
-            raise Bad7z("7z folder decoded to wrong size")
-        payloads.append(out)
+    payloads = _decode_payloads(data, si)
 
     # split folder payloads into substreams, assign to non-empty files
     streams: list[bytes] = []
@@ -334,12 +451,15 @@ class _Writer:
                 return
 
 
-def write_7z(members: list[tuple[str, bytes]], compress: bool = False) -> bytes:
+def write_7z(members: list[tuple[str, bytes]], compress: bool = False,
+             encoded_header: bool = False) -> bytes:
     """Store-only (or LZMA2) 7z archive: one folder per non-empty member.
 
     Subset writer for round-trip tests and tool-free interchange; readable
-    by any conforming 7z implementation (plain header, single Copy/LZMA2
-    coder per folder, explicit names, no CRCs).
+    by any conforming 7z implementation (single Copy/LZMA2 coder per
+    folder, explicit names, no CRCs). encoded_header=True LZMA2-compresses
+    the header and points the start header at a kEncodedHeader stream
+    description instead — the layout modern 7-Zip emits by default.
     """
     packs: list[bytes] = []
     folders: list[tuple[bytes, bytes, int]] = []  # (coder_id, props, usize)
@@ -414,6 +534,34 @@ def write_7z(members: list[tuple[str, bytes]], compress: bool = False) -> bytes:
 
     header = bytes(w.buf)
     body = b"".join(packs)
+    if encoded_header:
+        spec = {"id": lzma.FILTER_LZMA2, "preset": 6}
+        hprops = lzma._encode_filter_properties(spec)
+        comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[spec])
+        hpacked = comp.compress(header) + comp.flush()
+        ew = _Writer()
+        ew.number(K_ENCODED_HEADER)
+        ew.number(K_PACK_INFO)
+        ew.number(len(body))             # header pack stream sits after body
+        ew.number(1)
+        ew.number(K_SIZE)
+        ew.number(len(hpacked))
+        ew.number(K_END)
+        ew.number(K_UNPACK_INFO)
+        ew.number(K_FOLDER)
+        ew.number(1)
+        ew.byte(0)                       # not external
+        ew.number(1)                     # one coder
+        ew.byte(len(CODER_LZMA2) | 0x20)
+        ew.bytes_(CODER_LZMA2)
+        ew.number(len(hprops))
+        ew.bytes_(hprops)
+        ew.number(K_CODERS_UNPACK_SIZE)
+        ew.number(len(header))
+        ew.number(K_END)                 # end UnpackInfo property loop
+        ew.number(K_END)                 # end StreamsInfo
+        body += hpacked
+        header = bytes(ew.buf)
     import zlib
 
     start_hdr = struct.pack("<QQI", len(body), len(header),

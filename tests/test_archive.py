@@ -120,19 +120,144 @@ def test_7z_members_scanned(spark):
             assert got[(aid, name)] == hashlib.sha256(blob).hexdigest()
 
 
-def test_7z_exotic_variant_is_accounted(spark):
-    """A 7z with an encoded (compressed) header is outside the supported
-    subset → ONE ok=false row with the reason, never a silent skip."""
-    import struct
+def test_7z_encoded_header_members_scanned(spark):
+    """Modern 7-Zip compresses the header itself by default
+    (kEncodedHeader) — those archives must now scan like plain ones."""
+    from dupers_spark.functions.sevenzip import write_7z
 
-    from dupers_spark.functions.sevenzip import SIGNATURE
-
-    hdr = bytes([0x17])  # kEncodedHeader
-    blob = SIGNATURE + b"\x00\x04" + b"\x00" * 4 + struct.pack(
-        "<QQI", 0, len(hdr), 0
-    ) + hdr
-    df = spark.createDataFrame([("weird.7z", bytearray(blob))],
-                               ["image_id", "bytes"])
+    members = [("x/a.txt", b"alpha"), ("b.bin", bytes(range(200)) * 7)]
+    df = spark.createDataFrame(
+        [("arch_eh.7z",
+          bytearray(write_7z(members, compress=True, encoded_header=True)))],
+        ["image_id", "bytes"],
+    )
     rows = archive.archive_scan(df).collect()
-    assert len(rows) == 1 and not rows[0]["ok"]
-    assert "encoded" in rows[0]["err"]
+    assert all(r["ok"] for r in rows) and len(rows) == 2
+    got = {r["member_path"]: r["sha256"] for r in rows}
+    for name, blob in members:
+        assert got[name] == hashlib.sha256(blob).hexdigest()
+
+
+def test_7z_exotic_variant_is_accounted(spark):
+    """A 7z using a coder outside the supported subset (here an unknown
+    coder id, the BCJ2 shape) → ONE ok=false row with the reason, never a
+    silent skip. A truncated encoded header is likewise an accounted
+    malformed-archive row."""
+    import struct
+    import zlib
+
+    from dupers_spark.functions.sevenzip import (
+        SIGNATURE, _Writer, K_HEADER, K_MAIN_STREAMS, K_PACK_INFO, K_SIZE,
+        K_END, K_UNPACK_INFO, K_FOLDER, K_CODERS_UNPACK_SIZE)
+
+    w = _Writer()
+    w.number(K_HEADER)
+    w.number(K_MAIN_STREAMS)
+    w.number(K_PACK_INFO); w.number(0); w.number(1)
+    w.number(K_SIZE); w.number(5); w.number(K_END)
+    w.number(K_UNPACK_INFO); w.number(K_FOLDER); w.number(1); w.byte(0)
+    w.number(1); w.byte(4); w.bytes_(b"\x03\x03\x01\x1b")  # BCJ2 coder id
+    w.number(K_CODERS_UNPACK_SIZE); w.number(5)
+    w.number(K_END); w.number(K_END)
+    w.number(K_END)
+    hdr = bytes(w.buf)
+    sh = struct.pack("<QQI", 5, len(hdr), zlib.crc32(hdr))
+    weird = (SIGNATURE + b"\x00\x04" + struct.pack("<I", zlib.crc32(sh))
+             + sh + b"hello" + hdr)
+    trunc_eh = SIGNATURE + b"\x00\x04" + b"\x00" * 4 + struct.pack(
+        "<QQI", 0, 1, 0) + bytes([0x17])  # kEncodedHeader, then nothing
+    df = spark.createDataFrame(
+        [("weird.7z", bytearray(weird)), ("trunc.7z", bytearray(trunc_eh))],
+        ["image_id", "bytes"],
+    )
+    rows = {r["archive_id"]: r for r in archive.archive_scan(df).collect()}
+    assert len(rows) == 2
+    assert not rows["weird.7z"]["ok"]
+    assert "unsupported" in rows["weird.7z"]["err"]
+    assert not rows["trunc.7z"]["ok"]
+    assert "truncated" in rows["trunc.7z"]["err"]
+
+
+def _chain_7z(payload: bytes, pre_filter: dict, coder_id: bytes,
+              coder_props: bytes) -> bytes:
+    """Hand-build a one-member 7z whose folder is a [pre_filter, LZMA2]
+    coder chain (compression order) — the shape 7-Zip emits for
+    executable/delta-friendly payloads. Independent of write_7z so the
+    reader is checked against the spec, not against our own writer."""
+    import lzma
+    import struct
+    import zlib
+
+    from dupers_spark.functions.sevenzip import (
+        SIGNATURE, _Writer, CODER_LZMA2, K_HEADER, K_MAIN_STREAMS,
+        K_PACK_INFO, K_SIZE, K_END, K_UNPACK_INFO, K_FOLDER,
+        K_CODERS_UNPACK_SIZE, K_FILES_INFO, K_NAME)
+
+    chain = [pre_filter, {"id": lzma.FILTER_LZMA2, "preset": 6}]
+    comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=chain)
+    packed = comp.compress(payload) + comp.flush()
+    l2props = lzma._encode_filter_properties(
+        {"id": lzma.FILTER_LZMA2, "preset": 6})
+    w = _Writer()
+    w.number(K_HEADER)
+    w.number(K_MAIN_STREAMS)
+    w.number(K_PACK_INFO); w.number(0); w.number(1)
+    w.number(K_SIZE); w.number(len(packed)); w.number(K_END)
+    w.number(K_UNPACK_INFO); w.number(K_FOLDER); w.number(1); w.byte(0)
+    w.number(2)  # decode order: coder0 LZMA2 (reads packed) → coder1 filter
+    w.byte(len(CODER_LZMA2) | 0x20); w.bytes_(CODER_LZMA2)
+    w.number(len(l2props)); w.bytes_(l2props)
+    w.byte(len(coder_id) | (0x20 if coder_props else 0)); w.bytes_(coder_id)
+    if coder_props:
+        w.number(len(coder_props)); w.bytes_(coder_props)
+    w.number(1); w.number(0)  # bind: coder1's input ← coder0's output
+    w.number(K_CODERS_UNPACK_SIZE)
+    w.number(len(payload)); w.number(len(payload))
+    w.number(K_END); w.number(K_END)
+    w.number(K_FILES_INFO); w.number(1)
+    nb = bytearray([0]) + "m.bin".encode("utf-16-le") + b"\x00\x00"
+    w.number(K_NAME); w.number(len(nb)); w.bytes_(bytes(nb))
+    w.number(K_END); w.number(K_END)
+    hdr = bytes(w.buf)
+    sh = struct.pack("<QQI", len(packed), len(hdr), zlib.crc32(hdr))
+    return (SIGNATURE + b"\x00\x04" + struct.pack("<I", zlib.crc32(sh))
+            + sh + packed + hdr)
+
+
+def test_7z_delta_and_bcj_chain_folders():
+    """Linear multi-coder folders (Delta+LZMA2, BCJ x86+LZMA2): bind-pair
+    parse + chained raw-filter decode must reproduce the payload."""
+    import lzma
+
+    from dupers_spark.functions.sevenzip import CODER_DELTA, read_7z
+
+    payload = bytes([(i * 7) % 256 for i in range(5000)])
+    blob = _chain_7z(payload, {"id": lzma.FILTER_DELTA, "dist": 4},
+                     CODER_DELTA, bytes([4 - 1]))
+    assert read_7z(blob) == [("m.bin", payload)]
+
+    x86ish = (b"\xe8\x12\x34\x56\x00PAYLOAD" * 400)  # call-opcode dense
+    blob2 = _chain_7z(x86ish, {"id": lzma.FILTER_X86},
+                      b"\x03\x03\x01\x03", b"")
+    assert read_7z(blob2) == [("m.bin", x86ish)]
+
+
+def test_7z_reference_fixture_reads():
+    """The reference repo's own .7z test archive must decode: one member,
+    randomfiles.tar.xz, whose bytes are a valid xz stream (cross-checks
+    our folder machinery against a real 7-Zip-written file, not just our
+    own writer)."""
+    import lzma
+    import pathlib
+
+    from dupers_spark.functions.sevenzip import read_7z
+
+    p = pathlib.Path("/root/reference/testdata/randomfiles.7z")
+    if not p.exists():
+        import pytest
+
+        pytest.skip("reference fixture not present")
+    members = read_7z(p.read_bytes())
+    assert [m[0] for m in members] == ["randomfiles.tar.xz"]
+    inner = lzma.decompress(members[0][1])
+    assert len(inner) == 2048
