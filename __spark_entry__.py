@@ -420,6 +420,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["archive_scan_members"] = archive_scan_members
 
+    def archive_scan_7z(spark, sf):
+        # same member/digest contract, but through the 7z reader's modern
+        # layout: LZMA2 folders + an ENCODED (compressed) header — the
+        # kEncodedHeader decode path value-checked end-to-end.
+        from dupers_spark.operators import archive
+
+        svz = datagen.sevenz_documents(_docs(spark, sf))
+        scan = archive.archive_scan(svz, id_col="archive_id")
+        return scan.filter(F.col("ok")).select("member_id", "sha256", "n_bytes")
+
+    q["archive_scan_7z"] = archive_scan_7z
+
     # --- similarity search ----------------------------------------------
     def ann_topk(spark, sf):
         e = _emb(spark, sf)
@@ -833,6 +845,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["archive_scan_members"] = """
         SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member_id,
+               sha256(text) AS sha256,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+    """
+
+    o["archive_scan_7z"] = """
+        SELECT source || '.7z/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member_id,
                sha256(text) AS sha256,
                CAST(strlen(text) AS BIGINT) AS n_bytes
         FROM documents

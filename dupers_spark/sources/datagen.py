@@ -300,3 +300,28 @@ def zip_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "source", "text").groupBy("source").applyInPandas(
         build, schema="archive_id string, bytes binary"
     )
+
+def sevenz_documents(docs: DataFrame, compress: bool = True,
+                     encoded_header: bool = True) -> DataFrame:
+    """documents(doc_id, source, text) → one deterministic 7z per source
+    (LZMA2, encoded header by default — the layout modern 7-Zip emits).
+
+    Same member naming and digest contract as :func:`zip_documents`, so the
+    same DuckDB oracle (sha256(text) per member) value-checks the 7z
+    encoded-header + folder-chain decode path end-to-end.
+    """
+    from dupers_spark.functions.sevenzip import write_7z
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = [(f"doc_{int(did)}.txt", (text or "").encode("utf-8"))
+                   for did, text in zip(pdf["doc_id"], pdf["text"])]
+        blob = write_7z(members, compress=compress,
+                        encoded_header=encoded_header)
+        return pd.DataFrame({"archive_id": [str(pdf["source"].iloc[0]) + ".7z"],
+                             "bytes": [blob]})
+
+    return docs.select("doc_id", "source", "text").groupBy("source").applyInPandas(
+        build, schema="archive_id string, bytes binary"
+    )
+

@@ -53,3 +53,40 @@ def test_heal_restores_backup_after_crash_window(spark, tmp_path):
     store.write("t4", spark.range(2).selectExpr("id"))
     assert store.read("t4").count() == 2
     assert not os.path.exists(final + ".old")
+
+
+def test_iceberg_branch_is_wired(spark, tmp_path):
+    """The Iceberg write path can't fully run here (no jars), but the
+    branch must at least be exercised to Spark's writeTo call: with the
+    probe forced on, identifiers resolve and the failure comes from the
+    MISSING CATALOG, not from our code path. jobs/iceberg_smoke.py runs
+    the same five ops for real on a jar-equipped cluster."""
+    import pytest
+    from py4j.protocol import Py4JError
+    from pyspark.errors import AnalysisException
+
+    store = StageStore(spark, "/tmp/never_written", catalog="lake",
+                       namespace="ns")
+    assert store.use_iceberg is False  # honest probe in this sandbox
+    store.use_iceberg = True           # force the branch
+    assert store._ident("sigs") == "lake.ns.sigs"
+    with pytest.raises((AnalysisException, Py4JError)):
+        store.write("sigs", spark.range(3))
+
+
+def test_iceberg_smoke_script_parquet_fallback(spark, tmp_path):
+    """The cluster-side smoke script's operation sequence, run in-process
+    against the parquet fallback (same code path the script takes here)."""
+    store = StageStore(spark, str(tmp_path / "smoke_wh"))
+    df = spark.range(10).selectExpr("id", "concat('b', id % 2) AS bucket")
+    store.write("smoke", df)
+    assert store.read("smoke").count() == 10
+    store.write("smoke", df.limit(3))
+    assert store.read("smoke").count() == 3
+    store.write("smoke_p", df, partition_by=["bucket"])
+    parts = sorted(r[0] for r in store.read("smoke_p")
+                   .select("bucket").distinct().collect())
+    assert parts == ["b0", "b1"]
+    store.drop("smoke")
+    store.drop("smoke_p")
+    assert not store.exists("smoke") and not store.exists("smoke_p")
