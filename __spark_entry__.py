@@ -313,6 +313,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipeline_components_e2e"] = pipeline_components_e2e
 
+    def incremental_lsh_components(spark, sf):
+        # Append-batch near-dup probe value-checked end-to-end: docs split
+        # by doc_id parity; the even half is the "existing corpus" (full
+        # LSH build), the odd half arrives as an append batch probed
+        # against the persisted signature index (minhash_lsh.incremental_
+        # near_dup_edges — the index side is broadcast-joined, never
+        # reshuffled). Captions are first-3-words nested keys, so with
+        # k=3 word shingles the caption graph's components are EXACTLY the
+        # first-3-words groups (single-shingle Jaccard is 0 or 1) — SQL-
+        # expressible without recursion. Cross-parity groups force real
+        # cross-batch edges through the incremental path.
+        from dupers_spark.operators import minhash_lsh as ml
+        from dupers_spark.operators.components import with_singletons
+
+        d = _docs(spark, sf)
+        first3 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+        images = d.select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            first3.alias("caption"),
+            (F.col("doc_id") % 2).alias("par"),
+        )
+        old = images.filter(F.col("par") == 0).drop("par")
+        new = images.filter(F.col("par") == 1).drop("par")
+        cfg = ml.LSHConfig()
+        edges_old, _v, _dr = ml.near_dup_edges(old, cfg)
+        sigs_old = ml.signatures(
+            ml.collapse_groups(old).select("rep_id", "caption"), cfg)
+        edges_inc, _v2, _dr2, _sn = ml.incremental_near_dup_edges(
+            sigs_old, new, cfg)
+        comb = edges_old.unionByName(edges_inc)
+        return with_singletons(
+            connected_components(comb), images.select("image_id")
+        ).select("image_id", "component_id")
+
+    q["incremental_lsh_components"] = incremental_lsh_components
+
     def search_suffix_array(spark, sf):
         """Suffix-array index result — must equal the contains-scan oracle."""
         idx = search.build_suffix_index(_docs(spark, sf), "doc_id", "text", shards=8)
@@ -722,6 +758,16 @@ def oracle_sql() -> dict[str, str]:
         WITH s AS (
           SELECT CAST(doc_id AS VARCHAR) AS image_id,
                  array_to_string((string_split(text, ' '))[1:2], ' ') AS k
+          FROM documents),
+        grp AS (SELECT k, min(image_id) AS root FROM s GROUP BY k)
+        SELECT s.image_id, grp.root AS component_id
+        FROM s JOIN grp USING (k)
+    """
+
+    o["incremental_lsh_components"] = """
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                 array_to_string((string_split(text, ' '))[1:3], ' ') AS k
           FROM documents),
         grp AS (SELECT k, min(image_id) AS root FROM s GROUP BY k)
         SELECT s.image_id, grp.root AS component_id

@@ -113,6 +113,30 @@ def main() -> None:
     extras["probe_rows_per_sec"] = round(n_img / dt, 1)
     extras["probe_matches"] = n_probe
 
+    # incremental append-batch probe (dupers `up` on new files only): a 1%
+    # batch of unseen ids probed against the PREBUILT caption signature
+    # index — the index is broadcast-joined, never reshuffled or
+    # re-signatured (tests/test_plans.py gates the plan). Index build sits
+    # outside the clock like any index construction.
+    inc_batch = int(os.environ.get("SPARK_GRAFT_BENCH_INC_BATCH",
+                                   str(max(N_IMAGES // 100, 1000))))
+    caps = images.select("image_id", "caption")
+    sigs_lsh = ml.signatures(
+        ml.collapse_groups(caps).select("rep_id", "caption")
+    ).localCheckpoint()
+    buckets_lsh = ml.band_buckets(sigs_lsh).localCheckpoint()  # bucket stage
+    batch = images.limit(inc_batch).select(
+        F.concat(F.lit("znew_"), "image_id").alias("image_id"), "caption"
+    ).localCheckpoint()
+    t0 = time.time()
+    inc_edges, _iv, _idr, _isn = ml.incremental_near_dup_edges(
+        sigs_lsh, batch, index_buckets=buckets_lsh)
+    extras["incremental_edges"] = inc_edges.count()
+    dt = time.time() - t0
+    timings["incremental_probe_lsh"] = round(dt, 3)
+    extras["incremental_batch_rows_per_sec"] = round(inc_batch / dt, 1)
+    extras["incremental_batch_rows"] = inc_batch
+
     timed("exact_dedup_docs", lambda: dedup_text.exact_dup_groups(
         docs.withColumn(
             "text", F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2))

@@ -380,6 +380,101 @@ def candidate_pairs(buckets: DataFrame, cfg: LSHConfig = LSHConfig()) -> tuple[D
     return grouped_pair_expansion(buckets, cfg.max_bucket)
 
 
+def incremental_bucket_pairs(index_buckets: DataFrame, new_buckets: DataFrame,
+                             max_bucket: int,
+                             radius: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs for an APPEND batch probed against a persisted bucket
+    index → (pairs(a, b), dropped(band, key, size)); every returned pair
+    involves ≥ 1 batch rep.
+
+    The incremental-`up` shape (dupe.go:941-966 at bucket granularity): the
+    existing corpus is NEVER re-shuffled or re-signatured. The batch's
+    touched (band, key) set is broadcast and semi-probes the index — with
+    the bucket stage stored partitioned/bucketed by key this is a pruned
+    scan, and at any layout it is one broadcast hash join over the index,
+    zero index shuffles. Everything downstream operates on the touched
+    SLICE (≈ |batch| · bands rows, not |corpus|): it is unioned with the
+    batch's buckets and fed through the SAME bounded expansion kernel as
+    the full build (grouped_pair_expansion), so cap semantics, Hamming
+    hierarchical refinement (pass ``radius``; buckets must then carry a
+    ``sig`` column) and dropped-bucket accounting are identical by
+    construction. Old×old pairs inside touched buckets are computed and
+    discarded — bounded by the bucket cap, negligible against the index
+    scan, and the price of one code path instead of three.
+
+    Eager: the touched-slice materialization runs one Spark job at call
+    time (it feeds the kernel and the pair filter).
+    """
+    cols = ["band", "key", "rep_id"] + (["sig"] if radius is not None else [])
+    touched = new_buckets.select("band", "key").distinct()
+    old_touched = index_buckets.select(*cols) \
+        .join(F.broadcast(touched), ["band", "key"]).localCheckpoint()
+    combined = old_touched.unionByName(new_buckets.select(*cols))
+    all_pairs, dropped = grouped_pair_expansion(combined, max_bucket,
+                                                radius=radius)
+    new_ids = new_buckets.select("rep_id").distinct()
+    na = new_ids.withColumnRenamed("rep_id", "a").withColumn("fa", F.lit(True))
+    nb = new_ids.withColumnRenamed("rep_id", "b").withColumn("fb", F.lit(True))
+    pairs = (
+        all_pairs.join(F.broadcast(na), "a", "left")
+        .join(F.broadcast(nb), "b", "left")
+        .filter(F.col("fa").isNotNull() | F.col("fb").isNotNull())
+        .select("a", "b")
+    )
+    return pairs, dropped
+
+
+def incremental_near_dup_edges(index_sigs: DataFrame, new_images: DataFrame,
+                               cfg: LSHConfig = LSHConfig(),
+                               id_col: str = "image_id",
+                               text_col: str = "caption",
+                               index_buckets: DataFrame | None = None,
+                               ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Caption near-dup edges for an append batch vs a persisted signature
+    stage → (edges, verified, dropped, sigs_new).
+
+    Nothing about the existing corpus is recomputed: ``index_sigs`` is the
+    signature stage table (rep_id, shingles, bands) the full build wrote —
+    its band buckets are re-derived by a posexplode projection (or read
+    from a persisted bucket stage), and only the batch runs the Arrow
+    signature kernel. A new caption byte-identical to an indexed one meets
+    its old rep in every band and verifies at Jaccard 1.0, so exact
+    cross-batch duplicates attach to their existing cluster without a
+    dedicated exact path.
+
+    Callers append ``sigs_new`` to the signature stage afterwards so the
+    index stays current (StageStore/foreachBatch; see streaming/ingest.py
+    for the exact-engine analogue).
+
+    index_buckets: pass the PERSISTED bucket stage (band, key, rep_id) if
+    one exists — the steady-state deployment keeps it at rest partitioned
+    by key, so each probe is a pruned scan instead of re-exploding
+    bands × |corpus| rows from the signature table on every batch.
+    """
+    par = new_images.sparkSession.sparkContext.defaultParallelism * 2
+    grouped = collapse_groups(new_images, id_col, text_col) \
+        .repartition(par).localCheckpoint()
+    star = star_edges(new_images, grouped, id_col, text_col)
+    sigs_new = signatures(grouped.select("rep_id", "caption"), cfg).localCheckpoint()
+    if index_buckets is None:
+        index_buckets = band_buckets(index_sigs, cfg)
+    pairs, dropped = incremental_bucket_pairs(
+        index_buckets, band_buckets(sigs_new, cfg),
+        cfg.max_bucket)
+    pairs = pairs.localCheckpoint()  # 3 consumers below
+    # verify needs shingles ONLY for pair participants (a |batch|-scale id
+    # set): broadcast-semi-filter the signature table so the verify joins
+    # are small×small instead of shuffling |corpus| shingle arrays
+    pair_ids = pairs.select(F.col("a").alias("rep_id")).unionByName(
+        pairs.select(F.col("b").alias("rep_id"))).distinct()
+    all_sigs = index_sigs.select("rep_id", "shingles").unionByName(
+        sigs_new.select("rep_id", "shingles"))
+    needed = all_sigs.join(F.broadcast(pair_ids), "rep_id", "leftsemi")
+    verified = verify_pairs(pairs, needed, cfg)
+    edges = star.unionByName(verified.select("a", "b"))
+    return edges, verified, dropped, sigs_new
+
+
 def verify_pairs(pairs: DataFrame, sigs: DataFrame,
                  cfg: LSHConfig = LSHConfig()) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs → (a, b, sim), sim ≥ τ.

@@ -102,6 +102,60 @@ def verify_hamming(cands: DataFrame, reps: DataFrame, radius: int = 3) -> DataFr
     )
 
 
+def incremental_hamming_edges(index_reps: DataFrame, new_images: DataFrame,
+                              radius: int = 3, id_col: str = "image_id",
+                              sig_col: str = "phash", max_bucket: int = 500,
+                              ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Perceptual near-dup edges for an append batch vs the persisted rep
+    index → (edges, verified, dropped, reps_new).
+
+    Same incremental shape as minhash_lsh.incremental_near_dup_edges: the
+    batch's pigeonhole blocks broadcast-probe the index's block buckets
+    (index never reshuffled), and the touched slice runs through the SAME
+    Hamming-mode expansion kernel as the full build — combined-oversized
+    buckets hierarchically re-pigeonhole on the remaining sig bits, so
+    recall within the radius survives the saturated regime (corpus ≫
+    max_bucket·2^16) exactly as in hamming_candidates. A new sig identical
+    to an indexed one pairs with its old rep at distance 0 through the
+    block join.
+
+    Callers append ``reps_new`` to the rep stage to keep the index current.
+    """
+    from dupers_spark.operators.minhash_lsh import incremental_bucket_pairs
+
+    par = new_images.sparkSession.sparkContext.defaultParallelism * 2
+    grouped = collapse_sig_groups(new_images, id_col, sig_col) \
+        .repartition(par).localCheckpoint()
+    reps_new = grouped.select("rep_id", "sig")
+    star = (
+        new_images.select(F.col(id_col).alias("member"),
+                          F.col(sig_col).alias("sig"))
+        .join(grouped, "sig")
+        .filter(F.col("member") != F.col("rep_id"))
+        .select(F.col("member").alias("a"), F.col("rep_id").alias("b"))
+    )
+
+    def blocks(reps: DataFrame) -> DataFrame:
+        return reps.select(
+            "rep_id", "sig",
+            F.explode(H.hamming_blocks(F.col("sig"), radius)).alias("b"),
+        ).select(F.col("b.blk").alias("band"), F.col("b.val").alias("key"),
+                 "rep_id", "sig")
+
+    pairs, dropped = incremental_bucket_pairs(
+        blocks(index_reps), blocks(reps_new), max_bucket, radius=radius)
+    pairs = pairs.localCheckpoint()
+    # sig fetch only for pair participants (broadcast semi), as in the
+    # caption engine's incremental path
+    pair_ids = pairs.select(F.col("a").alias("rep_id")).unionByName(
+        pairs.select(F.col("b").alias("rep_id"))).distinct()
+    all_reps = index_reps.select("rep_id", "sig").unionByName(reps_new)
+    needed = all_reps.join(F.broadcast(pair_ids), "rep_id", "leftsemi")
+    verified = verify_hamming(pairs, needed, radius)
+    edges = star.unionByName(verified.select("a", "b"))
+    return edges, verified, dropped, reps_new
+
+
 def phash_near_dup_edges(images: DataFrame, radius: int = 3,
                          id_col: str = "image_id", sig_col: str = "phash",
                          max_bucket: int = 500,

@@ -79,3 +79,33 @@ def test_component_sets_match_planted_truth(spark, images_small):
     got_sets = {frozenset(s) for s in got_groups.values() if len(s) > 1}
     want_sets = {frozenset(s) for s in want_groups.values() if len(s) > 1}
     assert got_sets == want_sets
+
+
+def test_incremental_matches_full_build(spark, images_small):
+    """Append-batch probe vs persisted signature index: an odd/even id
+    split puts exact copies (r0/r1) and chain links (r3/r4) in DIFFERENT
+    batches, so every cross-batch connection must come from the
+    incremental path. Components over (old edges ∪ incremental edges)
+    must equal the full build's components."""
+    from dupers_spark.operators.components import (
+        connected_components, with_singletons)
+
+    parity = F.substring("image_id", -1, 1).cast("int") % 2
+    old = images_small.filter(parity == 0)
+    new = images_small.filter(parity == 1)
+
+    edges_old, _v, _d = ml.near_dup_edges(old, CFG)
+    sigs_old = ml.signatures(
+        ml.collapse_groups(old).select("rep_id", "caption"), CFG)
+    edges_inc, verified, dropped, sigs_new = ml.incremental_near_dup_edges(
+        sigs_old, new, CFG)
+    assert dropped.count() == 0
+    assert verified.count() > 0  # cross-batch near-dups were found
+
+    edges_full, _v2, _d2 = ml.near_dup_edges(images_small, CFG)
+    ids = images_small.select("image_id")
+    full = {r["image_id"]: r["component_id"] for r in with_singletons(
+        connected_components(edges_full), ids).collect()}
+    inc = {r["image_id"]: r["component_id"] for r in with_singletons(
+        connected_components(edges_old.unionByName(edges_inc)), ids).collect()}
+    assert full == inc

@@ -95,3 +95,31 @@ def test_whole_stage_codegen_present(spark):
     executed = q._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in executed
     assert "*(" in executed  # WholeStageCodegen stage markers
+
+
+def test_incremental_probe_never_shuffles_index(spark):
+    """The incremental append-batch path (minhash_lsh.incremental_bucket_
+    pairs) must not move the persisted index: every join that touches the
+    index side is a BROADCAST of batch-derived frames (touched keys, new
+    buckets), and the only hash exchanges are over the touched SLICE and
+    the batch — acceptable because they scale with |batch|·bands, not with
+    the corpus. Gate: no SortMergeJoin / ShuffledHashJoin anywhere in the
+    plan (any of those would mean the index was exchanged)."""
+    from dupers_spark.operators import minhash_lsh as ml
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = docs.select(F.col("doc_id").cast("string").alias("rep_id"),
+                       F.col("text").alias("caption"))
+    cfg = ml.LSHConfig()
+    index_sigs = ml.signatures(base.filter(F.col("rep_id").cast("int") % 2 == 0), cfg)
+    new_sigs = ml.signatures(base.filter(F.col("rep_id").cast("int") % 2 == 1), cfg)
+    pairs, dropped = ml.incremental_bucket_pairs(
+        ml.band_buckets(index_sigs, cfg), ml.band_buckets(new_sigs, cfg),
+        cfg.max_bucket)
+    for df in (pairs, dropped):
+        plan = _plan(df)
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+    # the new-involving pair filter is the only join left downstream of the
+    # (already materialized) touched slice — and it must be a broadcast
+    assert "BroadcastHashJoin" in _plan(pairs)

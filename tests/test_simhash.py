@@ -151,3 +151,32 @@ def test_pigeonhole_bit_exhaustion_keeps_pairs(spark):
         spark.createDataFrame(sorted(got), "a string, b string"))
     assert comp.select("component_id").distinct().count() == 1
     assert comp.count() == 4
+
+
+def test_incremental_hamming_matches_full_build(spark, images_small):
+    """Perceptual engine append-batch probe: odd/even split (exact-phash
+    copies r0/r1/r2 and the noisy near-dup r6 straddle batches) — combined
+    components must equal the full build's."""
+    from pyspark.sql import functions as F
+
+    from dupers_spark.operators.components import (
+        connected_components, with_singletons)
+
+    parity = F.substring("image_id", -1, 1).cast("int") % 2
+    old = images_small.filter(parity == 0)
+    new = images_small.filter(parity == 1)
+
+    edges_old, _v, _d = sh.phash_near_dup_edges(old, RADIUS)
+    reps_old, _star = sh.collapse_exact_sig(old)
+    edges_inc, verified, dropped, reps_new = sh.incremental_hamming_edges(
+        reps_old, new, RADIUS)
+    assert dropped.count() == 0
+    assert verified.count() > 0
+
+    edges_full, _v2, _d2 = sh.phash_near_dup_edges(images_small, RADIUS)
+    ids = images_small.select("image_id")
+    full = {r["image_id"]: r["component_id"] for r in with_singletons(
+        connected_components(edges_full), ids).collect()}
+    inc = {r["image_id"]: r["component_id"] for r in with_singletons(
+        connected_components(edges_old.unionByName(edges_inc)), ids).collect()}
+    assert full == inc
