@@ -6,7 +6,10 @@ Iceberg would swap in transparently since every write goes through
 
   signatures   — exact sha256 + phash per image (zero-byte rows excluded)
   exact_edges  — byte-identical pair edges (star-collapsed)
+  lsh_sigs     — caption near-dup INDEX: rep per distinct caption + minhash
+                 signature/bands (probed and appended by run_incremental)
   lsh_edges    — caption MinHash/LSH verified edges + collapse stars
+  phash_reps   — perceptual INDEX: rep per distinct 64-bit sig
   phash_edges  — perceptual Hamming-ball verified edges + collapse stars
   components   — connected components over the union edge graph
   metrics      — one row per (stage, partition-ish unit): rows, seconds
@@ -14,7 +17,9 @@ Iceberg would swap in transparently since every write goes through
 Resumability (north_rule): each stage directory carries a marker file with
 a config hash; rerunning with the same config skips completed stages —
 mirroring dupers' incremental `up` semantics (dupe.go:941-966) at stage
-granularity.
+granularity. run_incremental() extends that to APPEND batches: new rows
+probe the persisted index stages and append to them, reclustering without
+ever recomputing the corpus.
 """
 
 from __future__ import annotations
@@ -184,6 +189,38 @@ class DedupPipeline:
             return self._read_stage(name)
         return self._write_stage(name, build())
 
+    def _signature_frame(self, images: DataFrame,
+                         features: DataFrame | None = None) -> DataFrame:
+        """(image_id, sha256, phash, caption) for any image batch.
+
+        fast mode trusts the stored phash column; normal mode decodes and
+        recomputes (features computed here if not supplied). The features
+        left-join keeps undecodable payloads' exact SHA-256 signatures
+        (dupers normal mode hashes file content regardless of
+        decodability, dupe.go:129-157); only the perceptual stage skips
+        null-phash rows.
+        """
+        if self.cfg.fast:
+            return exact.signatures(images).join(
+                images.select("image_id", "phash", "caption"), "image_id"
+            )
+        if features is None:
+            from dupers_spark.operators import multimodal as mm
+
+            features = mm.image_features(images)
+        return (
+            exact.signatures(images)
+            .join(
+                features.select(
+                    "image_id",
+                    F.when(F.col("decode_ok"), F.col("phash")).alias("phash"),
+                ),
+                "image_id",
+                "left",
+            )
+            .join(images.select("image_id", "caption"), "image_id")
+        )
+
     # ------------------------------------------------------------- stages
     def run(self, images: DataFrame) -> DataFrame:
         # input identity for resume safety: row count + order-independent
@@ -213,10 +250,7 @@ class DedupPipeline:
 
         if self.cfg.fast:
             sigs = self._stage(
-                "signatures",
-                lambda: exact.signatures(images).join(
-                    images.select("image_id", "phash", "caption"), "image_id"
-                ),
+                "signatures", lambda: self._signature_frame(images)
             )
         else:
             from dupers_spark.operators import multimodal as mm
@@ -224,22 +258,8 @@ class DedupPipeline:
             features = self._stage(
                 "features", lambda: mm.image_features(images)
             )
-            # left-join features so undecodable payloads keep their exact
-            # SHA-256 signature (dupers normal mode hashes file content
-            # regardless of decodability, dupe.go:129-157); only the
-            # perceptual stage skips null-phash rows
             sigs = self._stage(
-                "signatures",
-                lambda: exact.signatures(images)
-                .join(
-                    features.select(
-                        "image_id",
-                        F.when(F.col("decode_ok"), F.col("phash")).alias("phash"),
-                    ),
-                    "image_id",
-                    "left",
-                )
-                .join(images.select("image_id", "caption"), "image_id"),
+                "signatures", lambda: self._signature_frame(images, features)
             )
 
         edge_frames: list[DataFrame] = []
@@ -251,27 +271,63 @@ class DedupPipeline:
         edge_frames.append(exact_edges)
 
         if self.cfg.use_captions:
+            caps = sigs.select("image_id", "caption")
+
+            # the caption near-dup INDEX (one rep per distinct caption +
+            # its minhash signature/bands) is a stage of its own so
+            # run_incremental can probe and append to it without ever
+            # re-signaturing the corpus
+            def build_lsh_sigs():
+                # core-proportional repartition before the Arrow signature
+                # kernel (AQE coalesces the tiny collapse shuffle and the
+                # kernel would inherit ~4 tasks); eager checkpoint because
+                # grouped feeds both the kernel and the caption join-back
+                par = caps.sparkSession.sparkContext.defaultParallelism * 2
+                grouped = ml.collapse_groups(caps).repartition(par) \
+                    .localCheckpoint()
+                s = ml.signatures(grouped.select("rep_id", "caption"),
+                                  self.cfg.lsh)
+                return s.join(grouped, "rep_id")  # + caption (star join key)
+
+            lsh_sigs = self._stage("lsh_sigs", build_lsh_sigs)
+
             def build_lsh():
-                edges, verified, dropped = ml.near_dup_edges(
-                    sigs.select("image_id", "caption"), self.cfg.lsh
-                )
-                n_dropped = dropped.count()
-                self.metrics.append({"stage": "lsh_dropped_buckets", "rows": n_dropped,
-                                     "seconds": 0.0})
-                return edges
+                star = ml.star_edges(caps, lsh_sigs.select("rep_id", "caption"))
+                buckets = ml.band_buckets(lsh_sigs, self.cfg.lsh)
+                pairs, dropped = ml.candidate_pairs(buckets, self.cfg.lsh)
+                verified = ml.verify_pairs(pairs, lsh_sigs, self.cfg.lsh)
+                self.metrics.append({"stage": "lsh_dropped_buckets",
+                                     "rows": dropped.count(), "seconds": 0.0})
+                return star.unionByName(verified.select("a", "b"))
 
             edge_frames.append(self._stage("lsh_edges", build_lsh))
 
         if self.cfg.use_phash:
+            pimg = sigs.select("image_id", "phash").filter(
+                F.col("phash").isNotNull())
+
+            # perceptual index stage: one rep per distinct 64-bit sig
+            phash_reps = self._stage(
+                "phash_reps",
+                lambda: sh.collapse_sig_groups(pimg).select("rep_id", "sig"),
+            )
+
             def build_phash():
-                edges, _verified, dropped = sh.phash_near_dup_edges(
-                    sigs.select("image_id", "phash")
-                    .filter(F.col("phash").isNotNull()),
-                    self.cfg.phash_radius,
+                star = (
+                    pimg.select(F.col("image_id").alias("member"),
+                                F.col("phash").alias("sig"))
+                    .join(phash_reps, "sig")
+                    .filter(F.col("member") != F.col("rep_id"))
+                    .select(F.col("member").alias("a"),
+                            F.col("rep_id").alias("b"))
                 )
+                cands, dropped = sh.hamming_candidates(
+                    phash_reps, self.cfg.phash_radius)
+                verified = sh.verify_hamming(cands, phash_reps,
+                                             self.cfg.phash_radius)
                 self.metrics.append({"stage": "phash_dropped_buckets",
                                      "rows": dropped.count(), "seconds": 0.0})
-                return edges
+                return star.unionByName(verified.select("a", "b"))
 
             edge_frames.append(self._stage("phash_edges", build_phash))
 
@@ -305,6 +361,140 @@ class DedupPipeline:
 
             self._stage("invariants", build_invariants)
 
+        self._write_metrics()
+        return comps
+
+    def run_incremental(self, new_images: DataFrame) -> DataFrame:
+        """Append-batch update of a COMPLETED warehouse — dupers' `up`
+        semantics at near-dup granularity: the existing corpus is never
+        re-read, re-hashed, or re-signatured.
+
+        Requires every stage of the current config to exist (any input
+        identity — markers are refreshed to the post-append identity at
+        the end). Per batch:
+
+          * batch signatures (fast or normal mode) append to ``signatures``
+          * exact: within-batch star edges + batch digests broadcast-probed
+            against the signatures stage (scan + broadcast semi-join, no
+            corpus shuffle)
+          * captions / phash: the operators' incremental probes against
+            the persisted ``lsh_sigs`` / ``phash_reps`` index stages; new
+            reps append to those stages. A batch caption (or sig)
+            identical to an indexed one adds a second rep for that key —
+            the verified sim-1.0 / dist-0 edge keeps the cluster correct,
+            and the index grows with batches, not with the corpus.
+          * components: re-clustered over (previous assignment as star
+            edges ∪ the new edge families) — a batch row bridging two old
+            clusters relabels both, exactly as a full rebuild would.
+          * crash safety: edge/index stages take atomic-append (Iceberg) /
+            file-append (parquet) writes, and markers refresh LAST — a
+            crash mid-append leaves stale markers, so the next run()
+            rebuilds instead of resuming onto a half-appended stage.
+        """
+        needed = ["signatures", "exact_edges", "components"]
+        if self.cfg.use_captions:
+            needed += ["lsh_sigs", "lsh_edges"]
+        if self.cfg.use_phash:
+            needed += ["phash_reps", "phash_edges"]
+        for name in needed:
+            if not self.store.exists(name):
+                raise ValueError(
+                    f"run_incremental needs completed stage {name!r}")
+            m = self._marker(name)
+            cfg_of = open(m).read().split(":")[0] if os.path.exists(m) else ""
+            if cfg_of != self.cfg.config_hash():
+                raise ValueError(
+                    f"stage {name!r} was built with a different config")
+
+        def metric(stage: str, rows: int, t0: float) -> None:
+            self.metrics.append({"stage": stage, "rows": rows,
+                                 "seconds": round(time.time() - t0, 3)})
+
+        t0 = time.time()
+        bsigs = self._signature_frame(new_images).localCheckpoint()
+        metric("inc_signatures", bsigs.count(), t0)
+        old_sigs = self._read_stage("signatures")
+        new_edge_frames: list[DataFrame] = []
+
+        # ---- exact: batch×batch + batch×index (broadcast digest probe)
+        t0 = time.time()
+        b_ex = bsigs.select("image_id", "sha256")
+        matched_old = old_sigs.select("image_id", "sha256").join(
+            F.broadcast(b_ex.select("sha256").distinct()), "sha256",
+            "leftsemi")
+        old_ex = matched_old.groupBy("sha256").agg(
+            F.min("image_id").alias("exemplar"))
+        cross = b_ex.join(F.broadcast(old_ex), "sha256").select(
+            F.col("image_id").alias("a"), F.col("exemplar").alias("b"))
+        exact_inc = exact.dup_edges(b_ex).unionByName(cross).localCheckpoint()
+        self.store.append("exact_edges", exact_inc)
+        metric("inc_exact_edges", exact_inc.count(), t0)
+        new_edge_frames.append(exact_inc)
+
+        if self.cfg.use_captions:
+            t0 = time.time()
+            lsh_sigs = self._read_stage("lsh_sigs")
+            caps_new = bsigs.select("image_id", "caption")
+            lsh_inc, _ver, dropped, sigs_new = ml.incremental_near_dup_edges(
+                lsh_sigs.select("rep_id", "shingles", "bands"), caps_new,
+                self.cfg.lsh)
+            lsh_inc = lsh_inc.localCheckpoint()
+            cap_map = ml.collapse_groups(caps_new)
+            self.store.append(
+                "lsh_sigs",
+                sigs_new.join(cap_map, "rep_id").select(*lsh_sigs.columns))
+            self.store.append("lsh_edges", lsh_inc)
+            self.metrics.append({"stage": "inc_lsh_dropped_buckets",
+                                 "rows": dropped.count(), "seconds": 0.0})
+            metric("inc_lsh_edges", lsh_inc.count(), t0)
+            new_edge_frames.append(lsh_inc)
+
+        if self.cfg.use_phash:
+            t0 = time.time()
+            reps_stage = self._read_stage("phash_reps")
+            pimg_new = bsigs.select("image_id", "phash").filter(
+                F.col("phash").isNotNull())
+            ph_inc, _ver, dropped_p, reps_new = sh.incremental_hamming_edges(
+                reps_stage, pimg_new, self.cfg.phash_radius)
+            ph_inc = ph_inc.localCheckpoint()
+            self.store.append("phash_reps", reps_new.select("rep_id", "sig"))
+            self.store.append("phash_edges", ph_inc)
+            self.metrics.append({"stage": "inc_phash_dropped_buckets",
+                                 "rows": dropped_p.count(), "seconds": 0.0})
+            metric("inc_phash_edges", ph_inc.count(), t0)
+            new_edge_frames.append(ph_inc)
+
+        # ---- recluster: old assignment enters as member→root star edges
+        old_assign = self._read_stage("components")
+        old_star = old_assign.filter(
+            F.col("image_id") != F.col("component_id")).select(
+            F.col("image_id").alias("a"), F.col("component_id").alias("b"))
+        all_edges = old_star
+        for e in new_edge_frames:
+            all_edges = all_edges.unionByName(e)
+        all_ids = old_assign.select("image_id").unionByName(
+            bsigs.select("image_id"))
+
+        self.store.append("signatures", bsigs)
+        # post-append input identity from the signatures stage itself —
+        # the "inc:" namespace never collides with run()'s image-frame
+        # fingerprint, so a later full run() rebuilds rather than resuming
+        fp = self._read_stage("signatures").agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(image_id, sha256, phash, caption))"),
+                F.lit(0)).alias("h"),
+        ).collect()[0]
+        self._input_fp = f"inc:{fp['n']}:{fp['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
+        for name in needed:
+            if name == "components":
+                continue  # marker written by _write_stage below
+            with open(self._marker(name), "w") as fh:
+                fh.write(self._marker_value())
+
+        comps = self._write_stage(
+            "components",
+            with_singletons(connected_components(all_edges), all_ids))
         self._write_metrics()
         return comps
 

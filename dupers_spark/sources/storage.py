@@ -106,6 +106,25 @@ class StageStore:
         if os.path.exists(old):
             shutil.rmtree(old)
 
+    def append(self, name: str, df: DataFrame,
+               partition_by: list[str] | None = None) -> None:
+        """Append rows to an existing stage (the incremental-`up` write).
+
+        Iceberg: an atomic snapshot append. Parquet fallback: added files
+        in the stage directory — NOT atomic across a crash; an incremental
+        pipeline that dies mid-append should rebuild the stage (the
+        resume markers are only refreshed after all appends succeed, so a
+        crash leaves markers stale and the next run rebuilds).
+        """
+        if self.use_iceberg:
+            df.writeTo(self._ident(name)).append()
+            return
+        self._heal(name)
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(name))
+
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(self._ident(name))

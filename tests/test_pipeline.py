@@ -142,3 +142,48 @@ def test_compact_heals_crashed_swap(spark):
         assert res["rows"] == 100
         assert res["files_after"] == 1
         assert not os.path.exists(path + ".old")
+
+
+def test_run_incremental_matches_full_rebuild(spark, images):
+    """Pipeline-level append (`dupers up` on new files only): full run over
+    the even half, run_incremental with the odd half — the final
+    components must equal a full rebuild over everything (exact copies,
+    caption chains, the flood and phash near-dups all straddle the parity
+    split), the index/edge stages must be appended rather than rebuilt,
+    and a config mismatch must refuse."""
+    import pytest
+
+    parity = F.substring("image_id", -1, 1).cast("int") % 2
+    old = images.filter(parity == 0)
+    new = images.filter(parity == 1)
+    with tempfile.TemporaryDirectory() as td:
+        cfg = PipelineConfig(warehouse=os.path.join(td, "wh"))
+        DedupPipeline(spark, cfg).run(old)
+        p2 = DedupPipeline(spark, cfg)
+        comps_inc = p2.run_incremental(new)
+        got = {(r["image_id"], r["component_id"])
+               for r in comps_inc.collect()}
+        stages = {m["stage"] for m in p2.metrics}
+        assert {"inc_signatures", "inc_exact_edges", "inc_lsh_edges",
+                "inc_phash_edges", "components"} <= stages
+
+        cfg_full = PipelineConfig(warehouse=os.path.join(td, "wh_full"))
+        comps_full = DedupPipeline(spark, cfg_full).run(images)
+        want = {(r["image_id"], r["component_id"])
+                for r in comps_full.collect()}
+        assert got == want
+
+        # appended, not rebuilt: signatures stage now covers the whole set
+        assert spark.read.parquet(
+            os.path.join(td, "wh", "signatures")).count() == N
+        # edge stages contain both halves' edges
+        full_exact = spark.read.parquet(
+            os.path.join(td, "wh_full", "exact_edges")).count()
+        inc_exact = spark.read.parquet(
+            os.path.join(td, "wh", "exact_edges")).count()
+        assert inc_exact == full_exact  # same digest groups either way
+
+        bad = DedupPipeline(spark, PipelineConfig(
+            warehouse=os.path.join(td, "wh"), phash_radius=4))
+        with pytest.raises(ValueError):
+            bad.run_incremental(new)
