@@ -313,6 +313,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipeline_components_e2e"] = pipeline_components_e2e
 
+    def pipeline_incremental_e2e(spark, sf):
+        # DedupPipeline.run_incremental value-checked end-to-end: full run
+        # over the even half of the nested-key docs projection, then the
+        # odd half arrives as an append batch (index stages probed and
+        # appended, components re-clustered). The final assignment must
+        # equal a full rebuild's — same first-2-words-group oracle as
+        # pipeline_components_e2e.
+        import shutil
+        import tempfile
+
+        from dupers_spark.plans.pipeline import DedupPipeline, PipelineConfig
+
+        d = _docs(spark, sf)
+        first2 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2))
+        first3 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+        images = d.select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            F.encode(first2, "utf-8").alias("bytes"),
+            first3.alias("caption"),
+            F.xxhash64(first2).alias("phash"),
+            (F.col("doc_id") % 2).alias("par"),
+        )
+        old = images.filter(F.col("par") == 0).drop("par")
+        new = images.filter(F.col("par") == 1).drop("par")
+        wh = os.path.join(tempfile.gettempdir(), "dupers_inc_e2e_wh",
+                          sf.strip("/").replace("/", "_"))
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cfg = PipelineConfig(warehouse=wh, fast=True)
+        DedupPipeline(spark, cfg).run(old)
+        return DedupPipeline(spark, cfg).run_incremental(new).select(
+            "image_id", "component_id")
+
+    q["pipeline_incremental_e2e"] = pipeline_incremental_e2e
+
     def incremental_lsh_components(spark, sf):
         # Append-batch near-dup probe value-checked end-to-end: docs split
         # by doc_id parity; the even half is the "existing corpus" (full
@@ -755,6 +790,16 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["pipeline_components_e2e"] = """
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                 array_to_string((string_split(text, ' '))[1:2], ' ') AS k
+          FROM documents),
+        grp AS (SELECT k, min(image_id) AS root FROM s GROUP BY k)
+        SELECT s.image_id, grp.root AS component_id
+        FROM s JOIN grp USING (k)
+    """
+
+    o["pipeline_incremental_e2e"] = """
         WITH s AS (
           SELECT CAST(doc_id AS VARCHAR) AS image_id,
                  array_to_string((string_split(text, ' '))[1:2], ' ') AS k

@@ -61,6 +61,71 @@ def stream_signatures(
     return writer.start()
 
 
+def stream_near_dup_edges(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    cfg=None,
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """File-source image stream → continuous caption near-dup maintenance:
+    each micro-batch probes the ACCUMULATED signature index
+    (minhash_lsh.incremental_near_dup_edges — index broadcast-probed,
+    never recomputed), appends its verified edges to
+    ``<warehouse>/lsh_edges`` and its new signatures to
+    ``<warehouse>/lsh_sigs``. The first batch bootstraps the index with a
+    full build. This is dupers' incremental `up` running continuously; the
+    edge log is consumed by connected_components (which dedups pairs, so
+    foreachBatch's at-least-once parquet appends on retry are harmless).
+    """
+    import os
+
+    from dupers_spark.operators import minhash_lsh as ml
+
+    cfg = cfg or ml.LSHConfig()
+    sig_dir = os.path.join(warehouse, "lsh_sigs")
+    edge_dir = os.path.join(warehouse, "lsh_edges")
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sb = batch.sparkSession
+        caps = batch.select("image_id", "caption")
+        try:
+            index = sb.read.parquet(sig_dir).select(
+                "rep_id", "shingles", "bands")
+        except Exception:
+            index = None
+        if index is None:
+            grouped = ml.collapse_groups(caps).localCheckpoint()
+            star = ml.star_edges(caps, grouped)
+            sigs_out = ml.signatures(
+                grouped.select("rep_id", "caption"), cfg).localCheckpoint()
+            buckets = ml.band_buckets(sigs_out, cfg)
+            pairs, _dropped = ml.candidate_pairs(buckets, cfg)
+            verified = ml.verify_pairs(pairs, sigs_out, cfg)
+            edges = star.unionByName(verified.select("a", "b"))
+        else:
+            edges, _v, _dropped, sigs_out = ml.incremental_near_dup_edges(
+                index, caps, cfg)
+        edges.write.mode("append").parquet(edge_dir)
+        sigs_out.select("rep_id", "shingles", "bands") \
+            .write.mode("append").parquet(sig_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -149,3 +149,42 @@ def test_windowed_event_counts_batch(spark):
     out = {(r["win_start"].hour, r["event_type"]): r["cnt"]
            for r in ingest.windowed_event_counts(events).collect()}
     assert out == {(0, "click"): 2, (1, "view"): 1}
+
+
+def test_stream_near_dup_edges_matches_batch(spark, tmp_path):
+    """Continuous near-dup ingest: images arrive as two file-batches (the
+    parity split again, so near-dup links straddle micro-batches); the
+    accumulated streamed edge log must cluster identically to one batch
+    build over everything."""
+    from pyspark.sql import functions as F
+
+    from dupers_spark.operators import minhash_lsh as ml
+    from dupers_spark.operators.components import (
+        connected_components, with_singletons)
+    from dupers_spark.sources import datagen
+    from dupers_spark.streaming import ingest
+
+    images = datagen.make_images(spark, 100).cache()
+    images.count()
+    parity = F.substring("image_id", -1, 1).cast("int") % 2
+    in_dir = str(tmp_path / "in")
+    images.filter(parity == 0).coalesce(1).write.parquet(
+        in_dir + "/half=a")  # two files → two micro-batches at mFPT=1
+    images.filter(parity == 1).coalesce(1).write.mode("append").parquet(
+        in_dir + "/half=b")
+    wh = str(tmp_path / "wh")
+    q = ingest.stream_near_dup_edges(
+        spark, in_dir + "/half=*", wh, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(wh + "/lsh_edges")
+    full_edges, _v, _d = ml.near_dup_edges(
+        images.select("image_id", "caption"))
+    ids = images.select("image_id")
+    got = {r["image_id"]: r["component_id"] for r in with_singletons(
+        connected_components(streamed), ids).collect()}
+    want = {r["image_id"]: r["component_id"] for r in with_singletons(
+        connected_components(full_edges), ids).collect()}
+    assert got == want
+    images.unpersist()
