@@ -398,6 +398,76 @@ def cosine_pairs_exact(corpus: DataFrame, threshold: float,
     )
 
 
+def srp_index(corpus: DataFrame, dim: int = 64, n_tables: int = 16,
+              n_planes: int = 12, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(rep_id, vec, keys) — the persistable SRP index stage.
+
+    Bucket keys are a pure function of (vector, planes-seed), so rows
+    computed in different batches co-bucket exactly as a single build
+    would — the property that makes the incremental probe's catch set
+    identical to a full rebuild's.
+    """
+    from dupers_spark.functions.fasthash import srp_table_keys_udf
+
+    keys_udf = srp_table_keys_udf(dim, n_tables, n_planes, seed)
+    return corpus.select(
+        F.col(id_col).cast("string").alias("rep_id"),
+        F.col(vec_col).alias("vec"),
+        keys_udf(F.col(vec_col)).alias("keys"),
+    )
+
+
+def incremental_embedding_near_dups(
+    index: DataFrame, new_corpus: DataFrame, threshold: float = 0.95,
+    dim: int = 64, n_tables: int = 16, n_planes: int = 12, seed: int = 42,
+    max_bucket: int = 2000, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Append-batch embedding near-dups vs a persisted SRP index →
+    (verified(a, b, cos ≥ τ), dropped(band, key, size), index_new).
+
+    Same incremental shape as the caption/phash engines
+    (minhash_lsh.incremental_bucket_pairs): the batch's touched (table,
+    bucket) keys broadcast-probe the index — never reshuffled — and only
+    pair participants' vectors are fetched for the exact-cosine verify.
+    Because SRP keys are deterministic per vector (see :func:`srp_index`),
+    (old-build pairs) ∪ (incremental pairs) equals a full rebuild's pair
+    set exactly, not just up to clustering. Callers append ``index_new``
+    to the index stage.
+    """
+    from dupers_spark.functions.fasthash import cosine_pair_udf
+    from dupers_spark.operators.minhash_lsh import incremental_bucket_pairs
+
+    id_type = dict(new_corpus.dtypes)[id_col]
+    index_new = srp_index(new_corpus, dim, n_tables, n_planes, seed,
+                          id_col, vec_col).localCheckpoint()
+    explode = lambda df: df.select(  # noqa: E731
+        "rep_id", F.posexplode("keys").alias("band", "key"))
+    pairs, dropped = incremental_bucket_pairs(
+        explode(index), explode(index_new), max_bucket)
+    pairs = pairs.localCheckpoint()
+    pair_ids = pairs.select(F.col("a").alias("rep_id")).unionByName(
+        pairs.select(F.col("b").alias("rep_id"))).distinct()
+    vecs = index.select("rep_id", "vec").unionByName(
+        index_new.select("rep_id", "vec")
+    ).join(F.broadcast(pair_ids), "rep_id", "leftsemi")
+    cos2 = cosine_pair_udf()
+    va = vecs.select(F.col("rep_id").alias("a"), F.col("vec").alias("va"))
+    vb = vecs.select(F.col("rep_id").alias("b"), F.col("vec").alias("vb"))
+    verified = (
+        pairs.join(va, "a").join(vb, "b")
+        .withColumn("cos", cos2(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.least(F.col("a").cast(id_type), F.col("b").cast(id_type)).alias("a"),
+            F.greatest(F.col("a").cast(id_type), F.col("b").cast(id_type)).alias("b"),
+            "cos",
+        )
+    )
+    return verified, dropped, index_new
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              dim: int = 64, n_tables: int = 16, n_planes: int = 12,
                              seed: int = 42, max_bucket: int = 2000,

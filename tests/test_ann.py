@@ -185,3 +185,26 @@ def test_ivf_centroids_sample_boundary(spark):
     # the filtered regime (frac < 1) still works on the same corpus
     C2 = ann.ivf_centroids(df, n_centroids=4, sample=10)
     assert C2.shape == (4, 3)
+
+
+def test_incremental_embedding_matches_full_build(spark):
+    """SRP keys are deterministic per vector, so (old-build pairs) ∪
+    (incremental-batch pairs) must equal a full build's pair set EXACTLY
+    — planted near-dup partners split across the two batches."""
+    raw, _truth = _planted_moderate_neardups()
+    rows = spark.createDataFrame(raw, "vec_id long, embedding array<float>")
+    old = rows.filter(F.col("vec_id") % 2 == 0)
+    new = rows.filter(F.col("vec_id") % 2 == 1)
+
+    full_pairs, _d = ann.embedding_near_dup_pairs(rows, threshold=0.9)
+    old_pairs, _d2 = ann.embedding_near_dup_pairs(old, threshold=0.9)
+    index = ann.srp_index(old).localCheckpoint()
+    inc_pairs, dropped, index_new = ann.incremental_embedding_near_dups(
+        index, new, threshold=0.9)
+    assert dropped.count() == 0
+    want = {(r["a"], r["b"]) for r in full_pairs.collect()}
+    got = {(r["a"], r["b"]) for r in old_pairs.collect()} | {
+        (r["a"], r["b"]) for r in inc_pairs.collect()}
+    assert got == want and len(want) > 0
+    # appended index covers the whole corpus
+    assert index.count() + index_new.count() == rows.count()
