@@ -187,3 +187,17 @@ def test_run_incremental_matches_full_rebuild(spark, images):
             warehouse=os.path.join(td, "wh"), phash_radius=4))
         with pytest.raises(ValueError):
             bad.run_incremental(new)
+
+
+def test_run_incremental_empty_batch_is_noop(spark, images):
+    """An empty append batch must leave the assignment unchanged (and not
+    crash any of the probe/append paths on zero rows)."""
+    with tempfile.TemporaryDirectory() as td:
+        cfg = PipelineConfig(warehouse=os.path.join(td, "wh"))
+        before = {(r["image_id"], r["component_id"])
+                  for r in DedupPipeline(spark, cfg).run(images).collect()}
+        empty = images.filter(F.lit(False))
+        after = {(r["image_id"], r["component_id"])
+                 for r in DedupPipeline(spark, cfg).run_incremental(empty)
+                 .collect()}
+        assert after == before
