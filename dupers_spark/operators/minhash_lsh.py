@@ -380,6 +380,40 @@ def candidate_pairs(buckets: DataFrame, cfg: LSHConfig = LSHConfig()) -> tuple[D
     return grouped_pair_expansion(buckets, cfg.max_bucket)
 
 
+# Partition-column convention for PERSISTED bucket index stages: kb = the low
+# bits of the (avalanched, uniform) bucket key. A stage written
+# partitionBy("kb") gets identity-partition layout (Iceberg: identity(kb))
+# so an append-batch probe whose touched-kb set is small prunes whole
+# partitions at the scan; with 64 values the pruning bites for point/trickle
+# batches while keeping file counts bounded (≈1 file per kb per write).
+KB_PARTITIONS = 64
+
+
+def with_kb(buckets: DataFrame) -> DataFrame:
+    """Add the kb partition column to a (band, key, ...) bucket frame."""
+    return buckets.withColumn(
+        "kb", F.col("key").bitwiseAND(F.lit(KB_PARTITIONS - 1)).cast("int"))
+
+
+def prune_index_by_kb(index_buckets: DataFrame,
+                      new_buckets: DataFrame) -> DataFrame:
+    """Partition-prune a persisted bucket stage down to the kb partitions the
+    batch can possibly touch.
+
+    No-op unless the index carries the ``kb`` partition column. The batch's
+    touched-kb set is ≤ KB_PARTITIONS values (one tiny collect); the isin
+    filter on the partition column prunes directories at planning time —
+    visible as PartitionFilters in the scan (gated in tests/test_plans.py).
+    Correctness is unaffected: kb is a pure function of key, so every (band,
+    key) match lives inside a touched partition.
+    """
+    if "kb" not in index_buckets.columns:
+        return index_buckets
+    kbs = [r["kb"] for r in with_kb(new_buckets.select("key").distinct())
+           .select("kb").distinct().collect()]
+    return index_buckets.filter(F.col("kb").isin(kbs))
+
+
 def incremental_bucket_pairs(index_buckets: DataFrame, new_buckets: DataFrame,
                              max_bucket: int,
                              radius: int | None = None) -> tuple[DataFrame, DataFrame]:
@@ -407,7 +441,7 @@ def incremental_bucket_pairs(index_buckets: DataFrame, new_buckets: DataFrame,
     """
     cols = ["band", "key", "rep_id"] + (["sig"] if radius is not None else [])
     touched = new_buckets.select("band", "key").distinct()
-    old_touched = index_buckets.select(*cols) \
+    old_touched = prune_index_by_kb(index_buckets, new_buckets).select(*cols) \
         .join(F.broadcast(touched), ["band", "key"]).localCheckpoint()
     combined = old_touched.unionByName(new_buckets.select(*cols))
     all_pairs, dropped = grouped_pair_expansion(combined, max_bucket,

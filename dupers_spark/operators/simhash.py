@@ -51,8 +51,23 @@ def collapse_exact_sig(df: DataFrame, id_col: str = "image_id",
     return reps, star
 
 
+def sig_blocks(reps: DataFrame, radius: int = 3) -> DataFrame:
+    """(band=blk, key=val, rep_id, sig) pigeonhole block rows for a rep
+    frame — the persistable block-index stage (plans/pipeline.py writes it
+    as ``phash_blocks`` so append batches probe it instead of re-exploding
+    the rep stage)."""
+    return reps.select(
+        "rep_id", F.col("sig"),
+        F.explode(H.hamming_blocks(F.col("sig"), radius)).alias("b"),
+    ).select(
+        F.col("b.blk").alias("band"), F.col("b.val").alias("key"),
+        "rep_id", "sig",
+    )
+
+
 def hamming_candidates(reps: DataFrame, radius: int = 3,
-                       max_bucket: int = 500) -> tuple[DataFrame, DataFrame]:
+                       max_bucket: int = 500,
+                       blocks: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """→ (candidate pairs (a, b), dropped(band, key, size)).
 
     Pigeonhole block values are only 64/(radius+1) bits wide (16 bits at
@@ -79,13 +94,8 @@ def hamming_candidates(reps: DataFrame, radius: int = 3,
     """
     from dupers_spark.operators.minhash_lsh import grouped_pair_expansion
 
-    blocks = reps.select(
-        "rep_id", F.col("sig"),
-        F.explode(H.hamming_blocks(F.col("sig"), radius)).alias("b"),
-    ).select(
-        F.col("b.blk").alias("band"), F.col("b.val").alias("key"),
-        "rep_id", "sig",
-    )
+    if blocks is None:
+        blocks = sig_blocks(reps, radius)
     return grouped_pair_expansion(blocks, max_bucket, radius=radius)
 
 
@@ -105,6 +115,7 @@ def verify_hamming(cands: DataFrame, reps: DataFrame, radius: int = 3) -> DataFr
 def incremental_hamming_edges(index_reps: DataFrame, new_images: DataFrame,
                               radius: int = 3, id_col: str = "image_id",
                               sig_col: str = "phash", max_bucket: int = 500,
+                              index_blocks: DataFrame | None = None,
                               ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Perceptual near-dup edges for an append batch vs the persisted rep
     index → (edges, verified, dropped, reps_new).
@@ -120,6 +131,12 @@ def incremental_hamming_edges(index_reps: DataFrame, new_images: DataFrame,
     block join.
 
     Callers append ``reps_new`` to the rep stage to keep the index current.
+
+    index_blocks: pass the PERSISTED block stage (band, key, rep_id, sig[,
+    kb]) if one exists — the steady-state pipeline keeps ``phash_blocks``
+    at rest (kb-partitioned) so each probe scans a skinny precomputed
+    stage (pruned to the touched kb partitions) instead of re-exploding
+    radius+1 block rows from the whole rep stage on every batch.
     """
     from dupers_spark.operators.minhash_lsh import incremental_bucket_pairs
 
@@ -135,15 +152,10 @@ def incremental_hamming_edges(index_reps: DataFrame, new_images: DataFrame,
         .select(F.col("member").alias("a"), F.col("rep_id").alias("b"))
     )
 
-    def blocks(reps: DataFrame) -> DataFrame:
-        return reps.select(
-            "rep_id", "sig",
-            F.explode(H.hamming_blocks(F.col("sig"), radius)).alias("b"),
-        ).select(F.col("b.blk").alias("band"), F.col("b.val").alias("key"),
-                 "rep_id", "sig")
-
+    if index_blocks is None:
+        index_blocks = sig_blocks(index_reps, radius)
     pairs, dropped = incremental_bucket_pairs(
-        blocks(index_reps), blocks(reps_new), max_bucket, radius=radius)
+        index_blocks, sig_blocks(reps_new, radius), max_bucket, radius=radius)
     pairs = pairs.localCheckpoint()
     # sig fetch only for pair participants (broadcast semi), as in the
     # caption engine's incremental path

@@ -8,8 +8,17 @@ Iceberg would swap in transparently since every write goes through
   exact_edges  — byte-identical pair edges (star-collapsed)
   lsh_sigs     — caption near-dup INDEX: rep per distinct caption + minhash
                  signature/bands (probed and appended by run_incremental)
+  lsh_buckets  — the BAND-BUCKET index (band, key, rep_id, kb): the
+                 materialized posexplode of lsh_sigs, kb-partitioned
+                 (kb = key & 63 → Iceberg identity-partition layout).
+                 Append batches probe THIS stage — a skinny 3-column scan
+                 pruned to the touched kb partitions — instead of paying an
+                 O(|corpus|·bands) signature-stage re-explosion per batch
   lsh_edges    — caption MinHash/LSH verified edges + collapse stars
   phash_reps   — perceptual INDEX: rep per distinct 64-bit sig
+  phash_blocks — the pigeonhole block index for phash_reps (same role and
+                 layout as lsh_buckets, with the sig column for Hamming
+                 refinement)
   phash_edges  — perceptual Hamming-ball verified edges + collapse stars
   components   — connected components over the union edge graph
   metrics      — one row per (stage, partition-ish unit): rows, seconds
@@ -58,6 +67,13 @@ class PipelineConfig:
     #            every invocation including resumes. Opt in when the phash
     #            column is untrusted or absent.
     fingerprint: str = "fast"
+
+    def __post_init__(self) -> None:
+        # anything outside the two known modes would silently degrade to a
+        # weaker-than-requested fingerprint (the run() check is literal)
+        if self.fingerprint not in ("fast", "full"):
+            raise ValueError(
+                f"fingerprint must be 'fast' or 'full', got {self.fingerprint!r}")
 
     def config_hash(self) -> str:
         blob = json.dumps(
@@ -151,13 +167,24 @@ class DedupPipeline:
         # silently reuse stale signatures/edges/components
         return f"{self.cfg.config_hash()}:{self._input_fp}"
 
+    def _pending(self) -> str:
+        """Sentinel marking an incremental append in flight. Present =
+        either a run_incremental is racing us or a previous one crashed
+        mid-append (stages partially appended, markers stale) — in both
+        cases appends are NOT resumable and the warehouse needs a full
+        rebuild to become consistent again."""
+        return os.path.join(self.cfg.warehouse, "_INC_PENDING")
+
     def _is_done(self, name: str) -> bool:
+        if getattr(self, "_force_rebuild", False):
+            return False
         m = self._marker(name)
         return os.path.exists(m) and open(m).read().strip() == self._marker_value()
 
-    def _write_stage(self, name: str, df: DataFrame) -> DataFrame:
+    def _write_stage(self, name: str, df: DataFrame,
+                     partition_by: list[str] | None = None) -> DataFrame:
         t0 = time.time()
-        self.store.write(name, df)
+        self.store.write(name, df, partition_by=partition_by)
         out = self.store.read(name)
         rows = out.count()
         elapsed = time.time() - t0
@@ -181,13 +208,14 @@ class DedupPipeline:
     def _read_stage(self, name: str) -> DataFrame:
         return self.store.read(name)
 
-    def _stage(self, name: str, build) -> DataFrame:
+    def _stage(self, name: str, build,
+               partition_by: list[str] | None = None) -> DataFrame:
         """Checkpoint-or-build: the resume primitive."""
         if self._is_done(name):
             self.metrics.append({"stage": name, "rows": -1, "seconds": 0.0,
                                  "resumed": True})
             return self._read_stage(name)
-        return self._write_stage(name, build())
+        return self._write_stage(name, build(), partition_by=partition_by)
 
     def _signature_frame(self, images: DataFrame,
                          features: DataFrame | None = None) -> DataFrame:
@@ -223,6 +251,12 @@ class DedupPipeline:
 
     # ------------------------------------------------------------- stages
     def run(self, images: DataFrame) -> DataFrame:
+        # a leftover _INC_PENDING means a previous run_incremental crashed
+        # between its first append and its marker refresh: stages may hold a
+        # half-applied batch while markers still describe the pre-batch
+        # state, so resuming onto them would be silently wrong. Force a full
+        # rebuild (which makes the warehouse consistent), then clear it.
+        self._force_rebuild = os.path.exists(self._pending())
         # input identity for resume safety: row count + order-independent
         # xor of row-content hashes. Content columns (caption, phash, byte
         # LENGTH) are folded in so a rerun against same-ids-different-rows
@@ -291,10 +325,20 @@ class DedupPipeline:
 
             lsh_sigs = self._stage("lsh_sigs", build_lsh_sigs)
 
+            # the band-bucket index at rest: the one posexplode of lsh_sigs,
+            # materialized ONCE and kb-partitioned, so both the full edge
+            # build below and every future append-batch probe scan a skinny
+            # precomputed stage instead of re-deriving bands × |reps| rows.
+            # repartition("kb") → ≈1 file per kb partition per write.
+            lsh_buckets = self._stage(
+                "lsh_buckets",
+                lambda: ml.with_kb(
+                    ml.band_buckets(lsh_sigs, self.cfg.lsh)).repartition("kb"),
+                partition_by=["kb"])
+
             def build_lsh():
                 star = ml.star_edges(caps, lsh_sigs.select("rep_id", "caption"))
-                buckets = ml.band_buckets(lsh_sigs, self.cfg.lsh)
-                pairs, dropped = ml.candidate_pairs(buckets, self.cfg.lsh)
+                pairs, dropped = ml.candidate_pairs(lsh_buckets, self.cfg.lsh)
                 verified = ml.verify_pairs(pairs, lsh_sigs, self.cfg.lsh)
                 self.metrics.append({"stage": "lsh_dropped_buckets",
                                      "rows": dropped.count(), "seconds": 0.0})
@@ -312,6 +356,15 @@ class DedupPipeline:
                 lambda: sh.collapse_sig_groups(pimg).select("rep_id", "sig"),
             )
 
+            # pigeonhole block index at rest (lsh_buckets analogue; carries
+            # sig so the Hamming-refinement kernel works on the probe path)
+            phash_blocks = self._stage(
+                "phash_blocks",
+                lambda: ml.with_kb(
+                    sh.sig_blocks(phash_reps, self.cfg.phash_radius)
+                ).repartition("kb"),
+                partition_by=["kb"])
+
             def build_phash():
                 star = (
                     pimg.select(F.col("image_id").alias("member"),
@@ -322,7 +375,7 @@ class DedupPipeline:
                             F.col("rep_id").alias("b"))
                 )
                 cands, dropped = sh.hamming_candidates(
-                    phash_reps, self.cfg.phash_radius)
+                    phash_reps, self.cfg.phash_radius, blocks=phash_blocks)
                 verified = sh.verify_hamming(cands, phash_reps,
                                              self.cfg.phash_radius)
                 self.metrics.append({"stage": "phash_dropped_buckets",
@@ -362,6 +415,11 @@ class DedupPipeline:
             self._stage("invariants", build_invariants)
 
         self._write_metrics()
+        # the rebuild (or verified-consistent resume) leaves every stage
+        # coherent again — clear any crashed-append sentinel
+        if os.path.exists(self._pending()):
+            os.remove(self._pending())
+        self._force_rebuild = False
         return comps
 
     def run_incremental(self, new_images: DataFrame) -> DataFrame:
@@ -378,18 +436,25 @@ class DedupPipeline:
             against the signatures stage (scan + broadcast semi-join, no
             corpus shuffle)
           * captions / phash: the operators' incremental probes against
-            the persisted ``lsh_sigs`` / ``phash_reps`` index stages; new
-            reps append to those stages. A batch caption (or sig)
-            identical to an indexed one adds a second rep for that key —
-            the verified sim-1.0 / dist-0 edge keeps the cluster correct,
-            and the index grows with batches, not with the corpus.
+            the persisted ``lsh_buckets`` / ``phash_blocks`` BUCKET stages
+            (skinny precomputed band/block rows, kb-partition-pruned — the
+            signature stages are never re-exploded per batch); new reps
+            append to sigs/reps AND bucket stages alike. A batch caption
+            (or sig) identical to an indexed one adds a second rep for
+            that key — the verified sim-1.0 / dist-0 edge keeps the
+            cluster correct, and the index grows with batches, not with
+            the corpus.
           * components: re-clustered over (previous assignment as star
             edges ∪ the new edge families) — a batch row bridging two old
             clusters relabels both, exactly as a full rebuild would.
-          * crash safety: edge/index stages take atomic-append (Iceberg) /
-            file-append (parquet) writes, and markers refresh LAST — a
-            crash mid-append leaves stale markers, so the next run()
-            rebuilds instead of resuming onto a half-appended stage.
+          * crash + concurrency safety: appends are not idempotent, so the
+            whole append window is guarded by an O_EXCL ``_INC_PENDING``
+            sentinel — a concurrent run_incremental on the same warehouse
+            refuses instead of interleaving, and after a crash mid-append
+            the surviving sentinel makes the next run_incremental refuse
+            loudly and the next run() force-rebuild (it cannot resume onto
+            half-appended stages even though markers still match the
+            pre-batch input). Markers refresh LAST, inside the window.
         """
         needed = ["signatures", "exact_edges", "components"]
         if self.cfg.use_captions:
@@ -405,6 +470,46 @@ class DedupPipeline:
             if cfg_of != self.cfg.config_hash():
                 raise ValueError(
                     f"stage {name!r} was built with a different config")
+
+        # bucket/block index stages are the probe targets for every append;
+        # a warehouse written before they existed is backfilled once from
+        # the signature/rep stages (atomic stage write), then appended to.
+        if self.cfg.use_captions and not self.store.exists("lsh_buckets"):
+            self._write_stage(
+                "lsh_buckets",
+                ml.with_kb(ml.band_buckets(
+                    self._read_stage("lsh_sigs"), self.cfg.lsh))
+                .repartition("kb"),
+                partition_by=["kb"])
+        if self.cfg.use_phash and not self.store.exists("phash_blocks"):
+            self._write_stage(
+                "phash_blocks",
+                ml.with_kb(sh.sig_blocks(
+                    self._read_stage("phash_reps"), self.cfg.phash_radius))
+                .repartition("kb"),
+                partition_by=["kb"])
+        if self.cfg.use_captions:
+            needed.append("lsh_buckets")
+        if self.cfg.use_phash:
+            needed.append("phash_blocks")
+
+        # appends are NOT idempotent (duplicate signature rows, index reps
+        # and edges on a replay), so an append run must be exclusive and
+        # crash-evident: O_EXCL-create a sentinel that (a) refuses a second
+        # concurrent run_incremental on the same warehouse and (b) survives
+        # a crash mid-append, where markers are stale — the next
+        # run_incremental refuses loudly and run() force-rebuilds.
+        pending = self._pending()
+        try:
+            fd = os.open(pending, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ValueError(
+                "partial or concurrent incremental append detected "
+                f"({pending} exists). Appends are not idempotent: run() a "
+                "full rebuild to restore consistency, or wait for the "
+                "in-flight run_incremental to finish.") from None
+        os.write(fd, b"incremental append in flight")
+        os.close(fd)
 
         def metric(stage: str, rows: int, t0: float) -> None:
             self.metrics.append({"stage": stage, "rows": rows,
@@ -435,14 +540,20 @@ class DedupPipeline:
             t0 = time.time()
             lsh_sigs = self._read_stage("lsh_sigs")
             caps_new = bsigs.select("image_id", "caption")
+            # probe the PERSISTED band-bucket stage (kb-pruned skinny scan)
+            # — the signature stage is only touched for verify participants
             lsh_inc, _ver, dropped, sigs_new = ml.incremental_near_dup_edges(
                 lsh_sigs.select("rep_id", "shingles", "bands"), caps_new,
-                self.cfg.lsh)
+                self.cfg.lsh, index_buckets=self._read_stage("lsh_buckets"))
             lsh_inc = lsh_inc.localCheckpoint()
             cap_map = ml.collapse_groups(caps_new)
             self.store.append(
                 "lsh_sigs",
                 sigs_new.join(cap_map, "rep_id").select(*lsh_sigs.columns))
+            self.store.append(
+                "lsh_buckets",
+                ml.with_kb(ml.band_buckets(sigs_new, self.cfg.lsh)),
+                partition_by=["kb"])
             self.store.append("lsh_edges", lsh_inc)
             self.metrics.append({"stage": "inc_lsh_dropped_buckets",
                                  "rows": dropped.count(), "seconds": 0.0})
@@ -455,9 +566,14 @@ class DedupPipeline:
             pimg_new = bsigs.select("image_id", "phash").filter(
                 F.col("phash").isNotNull())
             ph_inc, _ver, dropped_p, reps_new = sh.incremental_hamming_edges(
-                reps_stage, pimg_new, self.cfg.phash_radius)
+                reps_stage, pimg_new, self.cfg.phash_radius,
+                index_blocks=self._read_stage("phash_blocks"))
             ph_inc = ph_inc.localCheckpoint()
             self.store.append("phash_reps", reps_new.select("rep_id", "sig"))
+            self.store.append(
+                "phash_blocks",
+                ml.with_kb(sh.sig_blocks(reps_new, self.cfg.phash_radius)),
+                partition_by=["kb"])
             self.store.append("phash_edges", ph_inc)
             self.metrics.append({"stage": "inc_phash_dropped_buckets",
                                  "rows": dropped_p.count(), "seconds": 0.0})
@@ -496,6 +612,7 @@ class DedupPipeline:
             "components",
             with_singletons(connected_components(all_edges), all_ids))
         self._write_metrics()
+        os.remove(pending)  # every append landed + markers refreshed
         return comps
 
     def _write_metrics(self) -> None:

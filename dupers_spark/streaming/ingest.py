@@ -43,10 +43,15 @@ def stream_signatures(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        import os
+
         spark_b = batch.sparkSession
-        try:
+        # existence decides "no table yet"; a failing read of an EXISTING
+        # table propagates so the stream retries instead of re-hashing rows
+        # it already committed (see stream_near_dup_edges)
+        if os.path.exists(signatures_dir):
             existing = spark_b.read.parquet(signatures_dir).select("image_id")
-        except Exception:
+        else:
             existing = None
         fresh = batch if existing is None else exact.incremental_new(batch, existing)
         sigs = exact.signatures(fresh)
@@ -86,6 +91,7 @@ def stream_near_dup_edges(
 
     cfg = cfg or ml.LSHConfig()
     sig_dir = os.path.join(warehouse, "lsh_sigs")
+    bucket_dir = os.path.join(warehouse, "lsh_buckets")
     edge_dir = os.path.join(warehouse, "lsh_edges")
     stream = (
         spark.readStream.schema(IMAGES_SCHEMA)
@@ -96,12 +102,23 @@ def stream_near_dup_edges(
     def process(batch: DataFrame, batch_id: int) -> None:
         sb = batch.sparkSession
         caps = batch.select("image_id", "caption")
-        try:
+        # "no index yet" is decided by EXISTENCE, never by a read failure:
+        # a transient/corrupt read after batches have committed must make
+        # the streaming query retry the batch, not silently re-bootstrap
+        # against the batch alone (which would permanently lose cross-batch
+        # near-dup edges from the append-only edge log)
+        if os.path.exists(sig_dir):
             index = sb.read.parquet(sig_dir).select(
                 "rep_id", "shingles", "bands")
-        except Exception:
-            index = None
-        if index is None:
+            # steady state probes the persisted band-bucket stage — a
+            # skinny kb-pruned scan, not a per-batch re-explosion of the
+            # whole signature stage (same contract as
+            # DedupPipeline.run_incremental)
+            index_buckets = (sb.read.parquet(bucket_dir)
+                             if os.path.exists(bucket_dir) else None)
+            edges, _v, _dropped, sigs_out = ml.incremental_near_dup_edges(
+                index, caps, cfg, index_buckets=index_buckets)
+        else:
             grouped = ml.collapse_groups(caps).localCheckpoint()
             star = ml.star_edges(caps, grouped)
             sigs_out = ml.signatures(
@@ -110,10 +127,9 @@ def stream_near_dup_edges(
             pairs, _dropped = ml.candidate_pairs(buckets, cfg)
             verified = ml.verify_pairs(pairs, sigs_out, cfg)
             edges = star.unionByName(verified.select("a", "b"))
-        else:
-            edges, _v, _dropped, sigs_out = ml.incremental_near_dup_edges(
-                index, caps, cfg)
         edges.write.mode("append").parquet(edge_dir)
+        ml.with_kb(ml.band_buckets(sigs_out, cfg)) \
+            .write.mode("append").partitionBy("kb").parquet(bucket_dir)
         sigs_out.select("rep_id", "shingles", "bands") \
             .write.mode("append").parquet(sig_dir)
 

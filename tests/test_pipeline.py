@@ -189,6 +189,44 @@ def test_run_incremental_matches_full_rebuild(spark, images):
             bad.run_incremental(new)
 
 
+def test_fingerprint_value_validated():
+    with pytest.raises(ValueError, match="fingerprint"):
+        PipelineConfig(warehouse="/tmp/x", fingerprint="Full")
+
+
+def test_incremental_append_is_crash_and_race_evident(spark, images):
+    """Appends are not idempotent, so the append window must be exclusive
+    and crash-evident: a leftover/concurrent _INC_PENDING sentinel makes
+    run_incremental refuse loudly (never a silent double-append), and a
+    subsequent run() force-rebuilds — clearing the sentinel — even though
+    the stale markers still match the pre-batch input."""
+    parity = F.substring("image_id", -1, 1).cast("int") % 2
+    old, new = images.filter(parity == 0), images.filter(parity == 1)
+    with tempfile.TemporaryDirectory() as td:
+        cfg = PipelineConfig(warehouse=os.path.join(td, "wh"))
+        DedupPipeline(spark, cfg).run(old)
+
+        p = DedupPipeline(spark, cfg)
+        with open(p._pending(), "w") as fh:  # crashed / racing append
+            fh.write("x")
+        with pytest.raises(ValueError, match="partial or concurrent"):
+            p.run_incremental(new)
+
+        # run() with the same pre-batch input would normally resume every
+        # stage — the sentinel must force a rebuild instead
+        p2 = DedupPipeline(spark, cfg)
+        p2.run(old)
+        assert not any(m.get("resumed") for m in p2.metrics)
+        assert not os.path.exists(p2._pending())
+
+        # warehouse is consistent again: the append goes through and the
+        # lock is dropped on success
+        p3 = DedupPipeline(spark, cfg)
+        comps = p3.run_incremental(new)
+        assert comps.count() == N
+        assert not os.path.exists(p3._pending())
+
+
 def test_run_incremental_empty_batch_is_noop(spark, images):
     """An empty append batch must leave the assignment unchanged (and not
     crash any of the probe/append paths on zero rows)."""

@@ -123,3 +123,62 @@ def test_incremental_probe_never_shuffles_index(spark):
     # the new-involving pair filter is the only join left downstream of the
     # (already materialized) touched slice — and it must be a broadcast
     assert "BroadcastHashJoin" in _plan(pairs)
+
+
+def test_bucket_stage_probe_prunes_kb_partitions(spark, tmp_path):
+    """A persisted bucket stage is kb-partitioned; an append-batch probe
+    must prune to the touched kb partitions at the SCAN (PartitionFilters),
+    so trickle batches read a fraction of the index instead of all of it."""
+    from dupers_spark.operators import minhash_lsh as ml
+
+    idx = spark.range(2000).select(
+        F.col("id").cast("string").alias("rep_id"),
+        (F.col("id") % 42).cast("int").alias("band"),
+        F.xxhash64("id").alias("key"))
+    path = str(tmp_path / "lsh_buckets")
+    ml.with_kb(idx).write.partitionBy("kb").parquet(path)
+    stage = spark.read.parquet(path)
+    batch = spark.createDataFrame([(0, 12345)], "band int, key long")
+    pruned = ml.prune_index_by_kb(stage, batch)
+    part_filters = re.search(r"PartitionFilters: \[([^\]]*)\]", _plan(pruned))
+    assert part_filters and "kb" in part_filters.group(1)
+    assert pruned.select("kb").distinct().count() <= 1  # 1 of 64 read
+
+
+def test_pipeline_incremental_probe_reads_bucket_stage(spark, monkeypatch,
+                                                       tmp_path):
+    """run_incremental must probe the PERSISTED lsh_buckets / phash_blocks
+    stages — a plain scan of the materialized bucket index — and NOT
+    re-derive band/block rows by exploding the full signature/rep stage
+    per batch (the O(|corpus|·bands) per-append cost this stage exists to
+    kill)."""
+    from dupers_spark.plans import pipeline as pl
+    from dupers_spark.sources import datagen
+
+    images = datagen.make_images(spark, 80)
+    parity = F.substring("image_id", -1, 1).cast("int") % 2
+    cfg = pl.PipelineConfig(warehouse=str(tmp_path / "wh"))
+    pl.DedupPipeline(spark, cfg).run(images.filter(parity == 0))
+
+    captured = {}
+    orig_ml = pl.ml.incremental_near_dup_edges
+    orig_sh = pl.sh.incremental_hamming_edges
+
+    def spy_ml(index_sigs, new_images, cfg_, *a, **kw):
+        captured["lsh_buckets"] = kw.get("index_buckets")
+        return orig_ml(index_sigs, new_images, cfg_, *a, **kw)
+
+    def spy_sh(index_reps, new_images, radius, *a, **kw):
+        captured["phash_blocks"] = kw.get("index_blocks")
+        return orig_sh(index_reps, new_images, radius, *a, **kw)
+
+    monkeypatch.setattr(pl.ml, "incremental_near_dup_edges", spy_ml)
+    monkeypatch.setattr(pl.sh, "incremental_hamming_edges", spy_sh)
+    pl.DedupPipeline(spark, cfg).run_incremental(images.filter(parity == 1))
+
+    for stage in ("lsh_buckets", "phash_blocks"):
+        df = captured[stage]
+        assert df is not None, f"{stage} was not passed to the probe"
+        plan = _plan(df)
+        assert stage in plan          # scans the persisted bucket stage
+        assert "Generate" not in plan  # no per-batch posexplode of the index
