@@ -385,11 +385,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["incremental_lsh_components"] = incremental_lsh_components
 
     def search_suffix_array(spark, sf):
-        """Suffix-array index result — must equal the contains-scan oracle."""
+        """Suffix-array index result — must equal the contains-scan oracle.
+
+        The index round-trips through StageStore (build → persist → read →
+        query): what's value-checked here is the PERSISTED index, i.e. the
+        resumable artifact a repeated-query deployment actually probes
+        (reference anchor: the bbolt-backed index, database.go:374-447).
+        """
+        import tempfile
+
+        from dupers_spark.sources.storage import StageStore
+
         idx = search.build_suffix_index(_docs(spark, sf), "doc_id", "text", shards=8)
-        return search.query_suffix_index(idx, "merge join").select(
-            F.col("doc_id").cast("long").alias("doc_id")
-        )
+        with tempfile.TemporaryDirectory() as td:
+            store = StageStore(spark, td)
+            store.write("suffix_index", idx)
+            persisted = store.read("suffix_index")
+            rows = search.query_suffix_index(persisted, "merge join").select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            ).collect()  # materialize before the temp warehouse disappears
+        return spark.createDataFrame(rows, "doc_id long")
 
     q["search_suffix_array"] = search_suffix_array
 
@@ -540,6 +555,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("a", "b", F.round("cos", 5).alias("cos"))
 
     q["embedding_near_dups"] = embedding_near_dups
+
+    def _planted_embeddings(spark, sf):
+        """embeddings ∪ exact-direction copies (×2-scaled, id+10,000,001)
+        of every vec_id % 20 == 0 row. A positive scalar multiple has
+        cosine EXACTLY 1.0 with its base and an IDENTICAL SRP sign pattern
+        (sign(w·2v) = sign(w·v) for every hyperplane), so each planted pair
+        collides in ALL L tables — SRP recall on the planted set is
+        provably 1.0, not probabilistically high. Random sf pairs top out
+        near cos 0.51, far under the τ=0.8 verify, so the SRP output is
+        exactly the planted-pair set — value-checkable against the exact
+        all-pairs oracle."""
+        e = _emb(spark, sf).select("vec_id", "embedding")
+        scaled = e.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + F.lit(10_000_001)).alias("vec_id"),
+            F.expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))")
+            .alias("embedding"),
+        )
+        return e, scaled
+
+    def embedding_srp_near_dups(spark, sf):
+        # the PRODUCTION SRP path (L-table OR-construction, ann.py
+        # embedding_near_dup_pairs) — not the exact-pairs twin — run at a
+        # threshold where its recall is provably 1.0 (see _planted_embeddings)
+        e, scaled = _planted_embeddings(spark, sf)
+        out, _dropped = ann.embedding_near_dup_pairs(
+            e.unionByName(scaled), threshold=0.8, dim=64)
+        return out.select("a", "b", F.round("cos", 5).alias("cos"))
+
+    q["embedding_srp_near_dups"] = embedding_srp_near_dups
+
+    def embedding_srp_incremental(spark, sf):
+        # incremental probe against a persisted SRP index: index = the
+        # original embeddings, append batch = the planted copies. Every
+        # planted pair straddles the split, old×old pairs are empty at
+        # τ=0.8, so the incremental probe's output alone must equal the
+        # full-build / exact oracle pair set.
+        e, scaled = _planted_embeddings(spark, sf)
+        idx = ann.srp_index(e, dim=64)
+        verified, _dropped, _idx_new = ann.incremental_embedding_near_dups(
+            idx, scaled, threshold=0.8, dim=64)
+        return verified.select("a", "b", F.round("cos", 5).alias("cos"))
+
+    q["embedding_srp_incremental"] = embedding_srp_incremental
 
     def events_windowed(spark, sf):
         from dupers_spark.streaming.ingest import windowed_event_counts
@@ -989,6 +1047,31 @@ def oracle_sql() -> dict[str, str]:
         FROM c l JOIN c r ON l.vec_id < r.vec_id
         WHERE {dot} / ({nrm.format(side='l')} * {nrm.format(side='r')}) >= 0.3
     """
+
+    # SRP production path vs the exact all-pairs truth over the planted
+    # corpus (originals ∪ ×2-scaled copies of vec_id % 20 == 0, id
+    # +10,000,001). Scaling by 2 is exact in float32 (exponent bump), the
+    # τ=0.8 verify filters every non-planted pair, and planted pairs
+    # collide in all SRP tables — so the approximate engine must reproduce
+    # this exact result, not merely approximate it.
+    o["embedding_srp_near_dups"] = f"""
+        WITH planted AS (
+               SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 10000001,
+                      list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+               FROM embeddings WHERE vec_id % 20 = 0),
+             c AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM planted)
+        SELECT l.vec_id AS a, r.vec_id AS b,
+               round({dot} / ({nrm.format(side='l')} * {nrm.format(side='r')}), 5) AS cos
+        FROM c l JOIN c r ON l.vec_id < r.vec_id
+        WHERE {dot} / ({nrm.format(side='l')} * {nrm.format(side='r')}) >= 0.8
+    """
+    # the incremental probe (originals indexed, copies appended) must land
+    # on the identical pair set — same oracle by construction
+    o["embedding_srp_incremental"] = o["embedding_srp_near_dups"]
 
     o["events_windowed"] = """
         SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -255,6 +255,12 @@ def _read_streams_info(r: _Reader) -> dict:
             if t == K_CRC:
                 defined = r.bits_or_all(len(folders))
                 r.bytes_(4 * sum(defined))
+                # remember which folders carry a known CRC: SubStreamsInfo
+                # kCRC stores digests ONLY for streams whose CRC is still
+                # unknown, and a single-substream folder with a defined
+                # folder CRC is excluded from that count (7zFormat.txt)
+                for f, d in zip(folders, defined):
+                    f["crc_defined"] = bool(d)
             else:
                 raise Bad7z(f"unexpected id {t:#x} in UnpackInfo")
         tid = r.number()
@@ -273,8 +279,13 @@ def _read_streams_info(r: _Reader) -> dict:
                 substream_sizes.extend(given + [f["unpack_size"] - sum(given)])
             t = r.number()
         if t == K_CRC:
-            total = sum(num_unpack_streams)
-            defined = r.bits_or_all(total)
+            # digests only for streams with UNKNOWN CRC: folders with one
+            # substream whose CRC was already defined in UnpackInfo kCRC
+            # contribute zero entries here (7zFormat.txt SubStreamsInfo)
+            unknown = sum(
+                0 if (cnt == 1 and f.get("crc_defined")) else cnt
+                for f, cnt in zip(folders, num_unpack_streams))
+            defined = r.bits_or_all(unknown)
             r.bytes_(4 * sum(defined))
             t = r.number()
         if t != K_END:

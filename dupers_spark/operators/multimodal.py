@@ -12,8 +12,10 @@ its signature (pkg/dupe/dupe.go:129-157 re-hashes file content), vs the
 "-fast" mode that trusts the stored index (docs/README.md:179-194) — our
 pipelines expose the same switch (PipelineConfig.fast).
 
-Audio/video modalities: schema + operator signatures are provided, decode
-is stubbed behind NotImplementedError (no codecs in the container).
+Audio: WAV-PCM decode is REAL (stdlib ``wave`` needs no codec —
+duration/RMS/clipping/spectral-centroid features); compressed audio rows
+surface as decode_ok=False. Video remains the sole declared stub (frame
+decode genuinely requires codec libraries absent from the container).
 """
 
 from __future__ import annotations
@@ -192,23 +194,94 @@ def is_lossy(fmt_col) -> F.Column:
     return F.col(fmt_col).isin(*sorted(LOSSY_FMTS))
 
 
-# ----------------------------------------------------- audio/video (stubs)
+# ------------------------------------------------- audio (real WAV) / video
 
 AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType(), False),
     T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
     T.StructField("rms", T.DoubleType(), True),
+    T.StructField("clipping_rate", T.DoubleType(), True),
+    T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+    T.StructField("decode_ok", T.BooleanType(), False),
 ])
+
+
+def _wav_features(data: bytes) -> tuple:
+    """Decode one WAV-PCM payload → (duration, rate, channels, rms,
+    clipping_rate, spectral_centroid). Pure stdlib ``wave`` + numpy — the
+    one audio container that needs no codec library. 8/16/32-bit integer
+    PCM; compressed WAV (or any other container) raises and the caller
+    records decode_ok=False."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        n_frames = wf.getnframes()
+        raw = wf.readframes(n_frames)
+    if width == 1:  # unsigned 8-bit → center
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        full = 127.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        full = 32767.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+        full = 2147483647.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)  # mono mix for the features
+    dur = n_frames / rate if rate else 0.0
+    if not len(x):
+        return dur, rate, nch, 0.0, 0.0, 0.0
+    xn = x / full
+    rms = float(np.sqrt(np.mean(xn * xn)))
+    clip = float(np.mean(np.abs(xn) >= 0.999))
+    spec = np.abs(np.fft.rfft(xn))
+    freqs = np.fft.rfftfreq(len(xn), d=1.0 / rate)
+    denom = spec.sum()
+    centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+    return dur, rate, nch, rms, clip, centroid
 
 
 def audio_features(media: DataFrame, id_col: str = "media_id",
                    bytes_col: str = "bytes") -> DataFrame:
-    """STUB: audio decode requires codec libraries absent from this
-    container. The operator signature, schema, and Arrow plumbing mirror
-    image_features; the decode step raises."""
-    raise NotImplementedError(
-        "audio decoding unavailable in this container; see module docstring"
-    )
+    """Audio feature extraction over binary payloads — REAL for WAV-PCM
+    (stdlib ``wave``; duration, RMS, clipping rate, spectral centroid via
+    rfft), decode_ok=False for anything needing codecs absent from this
+    container. Same Arrow-batched mapInPandas shape as image_features."""
+    src = media.select(F.col(id_col).alias("media_id"),
+                       F.col(bytes_col).alias("bytes"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                if data is None or len(data) == 0:
+                    rows.append((mid, None, None, None, None, None, None, False))
+                    continue
+                try:
+                    d, r, c, rms, clip, cent = _wav_features(bytes(data))
+                except Exception:
+                    rows.append((mid, None, None, None, None, None, None, False))
+                    continue
+                rows.append((mid, d, r, c, rms, clip, cent, True))
+            cols = list(zip(*rows)) if rows else [[]] * 8
+            yield pd.DataFrame({
+                "media_id": pd.array(cols[0], dtype="string"),
+                "duration_s": pd.array(cols[1], dtype="Float64"),
+                "sample_rate": pd.array(cols[2], dtype="Int64"),
+                "n_channels": pd.array(cols[3], dtype="Int64"),
+                "rms": pd.array(cols[4], dtype="Float64"),
+                "clipping_rate": pd.array(cols[5], dtype="Float64"),
+                "spectral_centroid_hz": pd.array(cols[6], dtype="Float64"),
+                "decode_ok": pd.array(cols[7], dtype="boolean"),
+            })
+
+    return src.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 30,

@@ -261,3 +261,69 @@ def test_7z_reference_fixture_reads():
     assert [m[0] for m in members] == ["randomfiles.tar.xz"]
     inner = lzma.decompress(members[0][1])
     assert len(inner) == 2048
+    # the extracted member must be BYTE-identical to the on-disk twin the
+    # reference ships next to the archive — the regression gate that pins
+    # reader correctness to genuine 7-Zip output, not our own writer
+    import hashlib
+
+    twin = pathlib.Path("/root/reference/testdata/randomfiles.tar.xz")
+    if twin.exists():
+        assert hashlib.sha256(members[0][1]).hexdigest() \
+            == hashlib.sha256(twin.read_bytes()).hexdigest()
+
+
+def test_7z_substream_crc_count_excludes_known_folder_crcs():
+    """7zFormat.txt: SubStreamsInfo kCRC stores digests only for streams
+    with UNKNOWN CRC — a single-substream folder whose CRC was already
+    defined in UnpackInfo kCRC contributes no entry. A hand-built archive
+    carrying BOTH folder CRCs and substream CRCs must parse (it used to
+    misparse because the reader expected sum(num_unpack_streams) digests:
+    3 here instead of the 2 actually stored)."""
+    import struct
+    import zlib
+
+    from dupers_spark.functions.sevenzip import (
+        SIGNATURE, _Writer, CODER_COPY, K_HEADER, K_MAIN_STREAMS,
+        K_PACK_INFO, K_SIZE, K_END, K_UNPACK_INFO, K_FOLDER,
+        K_CODERS_UNPACK_SIZE, K_CRC, K_SUBSTREAMS_INFO,
+        K_NUM_UNPACK_STREAM, K_FILES_INFO, K_NAME, read_7z)
+
+    s0, s1a, s1b = b"AAAA", b"BBBB", b"CC"
+    pack0, pack1 = s0, s1a + s1b  # two copy-coder folders
+    w = _Writer()
+    w.number(K_HEADER)
+    w.number(K_MAIN_STREAMS)
+    w.number(K_PACK_INFO); w.number(0); w.number(2)
+    w.number(K_SIZE); w.number(len(pack0)); w.number(len(pack1))
+    w.number(K_END)
+    w.number(K_UNPACK_INFO); w.number(K_FOLDER); w.number(2); w.byte(0)
+    for _ in range(2):
+        w.number(1)                       # one Copy coder per folder
+        w.byte(len(CODER_COPY)); w.bytes_(CODER_COPY)
+    w.number(K_CODERS_UNPACK_SIZE)
+    w.number(len(pack0)); w.number(len(pack1))
+    w.number(K_CRC); w.byte(1)            # allAreDefined: BOTH folder CRCs
+    w.bytes_(struct.pack("<I", zlib.crc32(pack0)))
+    w.bytes_(struct.pack("<I", zlib.crc32(pack1)))
+    w.number(K_END)
+    w.number(K_SUBSTREAMS_INFO)
+    w.number(K_NUM_UNPACK_STREAM); w.number(1); w.number(2)
+    w.number(K_SIZE); w.number(len(s1a))  # all-but-last per folder: only s1a
+    w.number(K_CRC); w.byte(1)            # digests ONLY for folder1's 2
+    w.bytes_(struct.pack("<I", zlib.crc32(s1a)))  # unknown streams —
+    w.bytes_(struct.pack("<I", zlib.crc32(s1b)))  # folder0 is excluded
+    w.number(K_END)
+    w.number(K_END)                       # end MainStreamsInfo
+    w.number(K_FILES_INFO); w.number(3)
+    nb = bytearray([0])
+    for n in ("f0.bin", "f1a.bin", "f1b.bin"):
+        nb += n.encode("utf-16-le") + b"\x00\x00"
+    w.number(K_NAME); w.number(len(nb)); w.bytes_(bytes(nb))
+    w.number(K_END); w.number(K_END)
+    hdr = bytes(w.buf)
+    body = pack0 + pack1
+    sh = struct.pack("<QQI", len(body), len(hdr), zlib.crc32(hdr))
+    blob = (SIGNATURE + b"\x00\x04" + struct.pack("<I", zlib.crc32(sh))
+            + sh + body + hdr)
+    assert read_7z(blob) == [("f0.bin", s0), ("f1a.bin", s1a),
+                             ("f1b.bin", s1b)]

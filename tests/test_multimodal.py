@@ -64,9 +64,65 @@ def test_thumbnails(spark, images_small):
     assert all(len(r["thumb"]) == 64 for r in rows)
 
 
-def test_audio_video_stubs_raise(spark):
+def _make_wav(freq_hz: float, seconds: float = 0.5, rate: int = 8000,
+              amp: float = 0.5, width: int = 2, channels: int = 1) -> bytes:
+    """Synthesize a PCM sine-wave WAV entirely with stdlib wave + numpy."""
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    # clip like a real recorder/DAC would: amp > 1 saturates at full scale
+    x = np.clip(amp * np.sin(2 * np.pi * freq_hz * t), -1.0, 1.0)
+    if width == 2:
+        pcm = (x * 32767).astype("<i2")
+    elif width == 1:
+        pcm = ((x * 127) + 128).astype("u1")
+    else:
+        raise ValueError(width)
+    if channels == 2:
+        pcm = np.repeat(pcm, 2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav_pcm(spark):
+    """audio_features is REAL for WAV-PCM: duration/rate exact, RMS of an
+    A-sine = amp/√2, a clipped square wave shows clipping_rate ≈ 1, and the
+    spectral centroid of a pure tone sits near its frequency. Non-WAV
+    payloads surface as decode_ok=False rows, never exceptions."""
+    import numpy as np
+
+    sine = _make_wav(440.0, amp=0.5)
+    loud = _make_wav(100.0, amp=2.0)        # int16 saturates → clipping
+    stereo8 = _make_wav(440.0, amp=0.5, width=1, channels=2)
+    df = spark.createDataFrame(
+        [("sine", bytearray(sine)), ("loud", bytearray(loud)),
+         ("stereo8", bytearray(stereo8)), ("junk", bytearray(b"not a wav"))],
+        ["media_id", "bytes"],
+    )
+    rows = {r["media_id"]: r for r in mm.audio_features(df).collect()}
+    assert len(rows) == 4
+    s = rows["sine"]
+    assert s["decode_ok"] and s["sample_rate"] == 8000 and s["n_channels"] == 1
+    assert abs(s["duration_s"] - 0.5) < 1e-9
+    assert abs(s["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert s["clipping_rate"] < 0.001
+    assert 350 < s["spectral_centroid_hz"] < 900  # tone + window leakage
+    assert rows["loud"]["clipping_rate"] > 0.5    # saturated square-ish
+    st = rows["stereo8"]
+    assert st["decode_ok"] and st["n_channels"] == 2
+    assert abs(st["rms"] - 0.5 / np.sqrt(2)) < 0.02  # 8-bit quantization
+    assert not rows["junk"]["decode_ok"]
+
+
+def test_video_stub_raises(spark):
     df = spark.createDataFrame([("m1", b"x")], ["media_id", "bytes"])
-    with pytest.raises(NotImplementedError):
-        mm.audio_features(df)
     with pytest.raises(NotImplementedError):
         mm.sample_video_frames(df)

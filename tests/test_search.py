@@ -51,6 +51,26 @@ def test_suffix_index_deterministic_across_shards(spark, images_small):
     assert a == b
 
 
+def test_suffix_index_persists_and_resumes(spark, images_small, tmp_path):
+    """build → StageStore.write → fresh-store read → query must equal both
+    the in-memory index's answer and the contains-scan truth: the docstring
+    claim 'persisted as a parquet/Iceberg stage table, resumable' is a
+    contract, not an aspiration."""
+    from dupers_spark.sources.storage import StageStore
+
+    idx = search.build_suffix_index(images_small, "image_id", "caption")
+    StageStore(spark, str(tmp_path)).write("suffix_index", idx)
+    # a NEW store instance (a resumed process) reads the persisted index
+    persisted = StageStore(spark, str(tmp_path)).read("suffix_index")
+    for term in ["tiger", "brisk large", "zzz-not-there"]:
+        via_disk = {r["doc_id"]
+                    for r in search.query_suffix_index(persisted, term).collect()}
+        via_scan = {r["image_id"]
+                    for r in search.search_contains(images_small, term)
+                    .select("image_id").collect()}
+        assert via_disk == via_scan, term
+
+
 def test_suffix_probe_heavy_term_is_vectorized(spark):
     """A term occurring ~10⁵ times inside ONE shard must not trigger a
     per-occurrence Python walk: the probe is two binary searches plus one
