@@ -515,6 +515,18 @@ class DedupPipeline:
             self.metrics.append({"stage": stage, "rows": rows,
                                  "seconds": round(time.time() - t0, 3)})
 
+        def lineage_append(stage: str, rows: int = -1) -> None:
+            # audit record per appended stage (rows=-1 where counting would
+            # cost an extra job); input_fp is refreshed to the post-append
+            # identity before _write_metrics persists these
+            self.lineage.append({
+                "stage": f"{stage}+append",
+                "config_hash": self.cfg.config_hash(),
+                "input_fp": "",  # patched below once the post-append fp exists
+                "rows": rows,
+                "written_at": time.time(),
+            })
+
         t0 = time.time()
         bsigs = self._signature_frame(new_images).localCheckpoint()
         metric("inc_signatures", bsigs.count(), t0)
@@ -533,7 +545,9 @@ class DedupPipeline:
             F.col("image_id").alias("a"), F.col("exemplar").alias("b"))
         exact_inc = exact.dup_edges(b_ex).unionByName(cross).localCheckpoint()
         self.store.append("exact_edges", exact_inc)
-        metric("inc_exact_edges", exact_inc.count(), t0)
+        n_ex = exact_inc.count()
+        lineage_append("exact_edges", n_ex)
+        metric("inc_exact_edges", n_ex, t0)
         new_edge_frames.append(exact_inc)
 
         if self.cfg.use_captions:
@@ -555,9 +569,13 @@ class DedupPipeline:
                 ml.with_kb(ml.band_buckets(sigs_new, self.cfg.lsh)),
                 partition_by=["kb"])
             self.store.append("lsh_edges", lsh_inc)
+            for st in ("lsh_sigs", "lsh_buckets"):
+                lineage_append(st)
+            n_lsh = lsh_inc.count()
+            lineage_append("lsh_edges", n_lsh)
             self.metrics.append({"stage": "inc_lsh_dropped_buckets",
                                  "rows": dropped.count(), "seconds": 0.0})
-            metric("inc_lsh_edges", lsh_inc.count(), t0)
+            metric("inc_lsh_edges", n_lsh, t0)
             new_edge_frames.append(lsh_inc)
 
         if self.cfg.use_phash:
@@ -575,9 +593,13 @@ class DedupPipeline:
                 ml.with_kb(sh.sig_blocks(reps_new, self.cfg.phash_radius)),
                 partition_by=["kb"])
             self.store.append("phash_edges", ph_inc)
+            for st in ("phash_reps", "phash_blocks"):
+                lineage_append(st)
+            n_ph = ph_inc.count()
+            lineage_append("phash_edges", n_ph)
             self.metrics.append({"stage": "inc_phash_dropped_buckets",
                                  "rows": dropped_p.count(), "seconds": 0.0})
-            metric("inc_phash_edges", ph_inc.count(), t0)
+            metric("inc_phash_edges", n_ph, t0)
             new_edge_frames.append(ph_inc)
 
         # ---- recluster: old assignment enters as member→root star edges
@@ -592,6 +614,7 @@ class DedupPipeline:
             bsigs.select("image_id"))
 
         self.store.append("signatures", bsigs)
+        lineage_append("signatures")
         # post-append input identity from the signatures stage itself —
         # the "inc:" namespace never collides with run()'s image-frame
         # fingerprint, so a later full run() rebuilds rather than resuming
@@ -602,6 +625,9 @@ class DedupPipeline:
                 F.lit(0)).alias("h"),
         ).collect()[0]
         self._input_fp = f"inc:{fp['n']}:{fp['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
+        for rec in self.lineage:
+            if rec["stage"].endswith("+append") and not rec["input_fp"]:
+                rec["input_fp"] = self._input_fp
         for name in needed:
             if name == "components":
                 continue  # marker written by _write_stage below

@@ -183,6 +183,15 @@ def test_run_incremental_matches_full_rebuild(spark, images):
             os.path.join(td, "wh", "exact_edges")).count()
         assert inc_exact == full_exact  # same digest groups either way
 
+        # every append is auditable: lineage carries one '<stage>+append'
+        # record per appended stage, stamped with the post-append identity
+        lin = {r["stage"]: r for r in spark.read.parquet(
+            os.path.join(td, "wh", "lineage")).collect()}
+        for st in ("signatures", "exact_edges", "lsh_sigs", "lsh_buckets",
+                   "lsh_edges", "phash_reps", "phash_blocks", "phash_edges"):
+            assert f"{st}+append" in lin, st
+            assert lin[f"{st}+append"]["input_fp"].startswith("inc:")
+
         bad = DedupPipeline(spark, PipelineConfig(
             warehouse=os.path.join(td, "wh"), phash_radius=4))
         with pytest.raises(ValueError):
