@@ -6,6 +6,11 @@ Usage:
       --n-images 1000 --warehouse /tmp/dedup_wh [--resume] \
       [--report /tmp/report.json]
 
+  # incremental append (dupers `up`): probe + append a batch against a
+  # COMPLETED warehouse — the corpus is never re-read or re-signatured
+  spark-submit jobs/run_pipeline.py --append --images-path batch.parquet \
+      --warehouse /tmp/dedup_wh
+
 Reads nothing outside the warehouse; the input table is the deterministic
 synthetic images table (swap --images-path for a real Iceberg/parquet table).
 """
@@ -31,6 +36,11 @@ def main() -> None:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing stage checkpoints")
+    ap.add_argument("--append", action="store_true",
+                    help="incremental append: probe the batch against the "
+                         "completed warehouse's index stages and append "
+                         "(dupers `up`); requires a prior full run with "
+                         "the same config")
     ap.add_argument("--report", default=None, help="write a JSON run report here")
     ap.add_argument("--no-fast", action="store_true",
                     help="decode payloads and recompute perceptual features "
@@ -66,7 +76,12 @@ def main() -> None:
         fast=not args.no_fast,
         psnr_sample=args.psnr_sample,
     ))
-    comps = pipe.run(images)
+    if args.append:
+        if args.fresh:
+            ap.error("--append and --fresh are mutually exclusive")
+        comps = pipe.run_incremental(images)
+    else:
+        comps = pipe.run(images)
     n_images = images.count()
     n_clusters = comps.select("component_id").distinct().count()
     n_clustered = comps.filter(F.col("component_id") != F.col("image_id")).count()
