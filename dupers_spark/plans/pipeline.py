@@ -217,6 +217,18 @@ class DedupPipeline:
             return self._read_stage(name)
         return self._write_stage(name, build(), partition_by=partition_by)
 
+    def _bucket_frame(self, kind: str, source: DataFrame) -> DataFrame:
+        """The ONE definition of the bucket-index layout — full build,
+        backfill and per-batch append all route here so they can never
+        diverge: band/block rows + kb partition column, repartition("kb")
+        so every write lands ≈1 file per touched kb partition (appends
+        included; compact_stage handles long-horizon file accretion)."""
+        if kind == "lsh_buckets":
+            rows = ml.band_buckets(source, self.cfg.lsh)
+        else:  # phash_blocks
+            rows = sh.sig_blocks(source, self.cfg.phash_radius)
+        return ml.with_kb(rows).repartition("kb")
+
     def _signature_frame(self, images: DataFrame,
                          features: DataFrame | None = None) -> DataFrame:
         """(image_id, sha256, phash, caption) for any image batch.
@@ -332,8 +344,7 @@ class DedupPipeline:
             # repartition("kb") → ≈1 file per kb partition per write.
             lsh_buckets = self._stage(
                 "lsh_buckets",
-                lambda: ml.with_kb(
-                    ml.band_buckets(lsh_sigs, self.cfg.lsh)).repartition("kb"),
+                lambda: self._bucket_frame("lsh_buckets", lsh_sigs),
                 partition_by=["kb"])
 
             def build_lsh():
@@ -360,9 +371,7 @@ class DedupPipeline:
             # sig so the Hamming-refinement kernel works on the probe path)
             phash_blocks = self._stage(
                 "phash_blocks",
-                lambda: ml.with_kb(
-                    sh.sig_blocks(phash_reps, self.cfg.phash_radius)
-                ).repartition("kb"),
+                lambda: self._bucket_frame("phash_blocks", phash_reps),
                 partition_by=["kb"])
 
             def build_phash():
@@ -415,9 +424,11 @@ class DedupPipeline:
             self._stage("invariants", build_invariants)
 
         self._write_metrics()
-        # the rebuild (or verified-consistent resume) leaves every stage
-        # coherent again — clear any crashed-append sentinel
-        if os.path.exists(self._pending()):
+        # clear the crashed-append sentinel ONLY if this run observed it at
+        # start (and therefore rebuilt because of it): a sentinel created
+        # AFTER our check belongs to a run_incremental racing us, and
+        # removing it would erase the crash evidence it exists to preserve
+        if self._force_rebuild and os.path.exists(self._pending()):
             os.remove(self._pending())
         self._force_rebuild = False
         return comps
@@ -477,16 +488,12 @@ class DedupPipeline:
         if self.cfg.use_captions and not self.store.exists("lsh_buckets"):
             self._write_stage(
                 "lsh_buckets",
-                ml.with_kb(ml.band_buckets(
-                    self._read_stage("lsh_sigs"), self.cfg.lsh))
-                .repartition("kb"),
+                self._bucket_frame("lsh_buckets", self._read_stage("lsh_sigs")),
                 partition_by=["kb"])
         if self.cfg.use_phash and not self.store.exists("phash_blocks"):
             self._write_stage(
                 "phash_blocks",
-                ml.with_kb(sh.sig_blocks(
-                    self._read_stage("phash_reps"), self.cfg.phash_radius))
-                .repartition("kb"),
+                self._bucket_frame("phash_blocks", self._read_stage("phash_reps")),
                 partition_by=["kb"])
         if self.cfg.use_captions:
             needed.append("lsh_buckets")
@@ -496,9 +503,13 @@ class DedupPipeline:
         # appends are NOT idempotent (duplicate signature rows, index reps
         # and edges on a replay), so an append run must be exclusive and
         # crash-evident: O_EXCL-create a sentinel that (a) refuses a second
-        # concurrent run_incremental on the same warehouse and (b) survives
-        # a crash mid-append, where markers are stale — the next
-        # run_incremental refuses loudly and run() force-rebuilds.
+        # concurrent run_incremental on the same warehouse — held from the
+        # first index READ, because probing an index mid-append would see a
+        # partially-applied batch — and (b) survives a crash mid-append,
+        # where markers are stale: the next run_incremental refuses loudly
+        # and run() force-rebuilds. A FAILURE in the probe phase (before
+        # anything is appended) releases the sentinel on the way out — the
+        # warehouse is untouched, so no rebuild is owed.
         pending = self._pending()
         try:
             fd = os.open(pending, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -527,94 +538,119 @@ class DedupPipeline:
                 "written_at": time.time(),
             })
 
-        t0 = time.time()
-        bsigs = self._signature_frame(new_images).localCheckpoint()
-        metric("inc_signatures", bsigs.count(), t0)
-        old_sigs = self._read_stage("signatures")
-        new_edge_frames: list[DataFrame] = []
-
-        # ---- exact: batch×batch + batch×index (broadcast digest probe)
-        t0 = time.time()
-        b_ex = bsigs.select("image_id", "sha256")
-        matched_old = old_sigs.select("image_id", "sha256").join(
-            F.broadcast(b_ex.select("sha256").distinct()), "sha256",
-            "leftsemi")
-        old_ex = matched_old.groupBy("sha256").agg(
-            F.min("image_id").alias("exemplar"))
-        cross = b_ex.join(F.broadcast(old_ex), "sha256").select(
-            F.col("image_id").alias("a"), F.col("exemplar").alias("b"))
-        exact_inc = exact.dup_edges(b_ex).unionByName(cross).localCheckpoint()
-        self.store.append("exact_edges", exact_inc)
-        n_ex = exact_inc.count()
-        lineage_append("exact_edges", n_ex)
-        metric("inc_exact_edges", n_ex, t0)
-        new_edge_frames.append(exact_inc)
-
-        if self.cfg.use_captions:
+        # ------------- probe phase: EVERYTHING is computed and eagerly
+        # materialized before a single row is appended, so a failure here
+        # (bad batch schema, transient executor loss) leaves the warehouse
+        # exactly as it was — no rebuild, sentinel released on the way out
+        try:
             t0 = time.time()
-            lsh_sigs = self._read_stage("lsh_sigs")
-            caps_new = bsigs.select("image_id", "caption")
-            # probe the PERSISTED band-bucket stage (kb-pruned skinny scan)
-            # — the signature stage is only touched for verify participants
-            lsh_inc, _ver, dropped, sigs_new = ml.incremental_near_dup_edges(
-                lsh_sigs.select("rep_id", "shingles", "bands"), caps_new,
-                self.cfg.lsh, index_buckets=self._read_stage("lsh_buckets"))
-            lsh_inc = lsh_inc.localCheckpoint()
-            cap_map = ml.collapse_groups(caps_new)
-            self.store.append(
-                "lsh_sigs",
-                sigs_new.join(cap_map, "rep_id").select(*lsh_sigs.columns))
-            self.store.append(
-                "lsh_buckets",
-                ml.with_kb(ml.band_buckets(sigs_new, self.cfg.lsh)),
-                partition_by=["kb"])
+            bsigs = self._signature_frame(new_images).localCheckpoint()
+            metric("inc_signatures", bsigs.count(), t0)
+            old_sigs = self._read_stage("signatures")
+            new_edge_frames: list[DataFrame] = []
+
+            # ---- exact: batch×batch + batch×index (broadcast digest probe)
+            t0 = time.time()
+            b_ex = bsigs.select("image_id", "sha256")
+            matched_old = old_sigs.select("image_id", "sha256").join(
+                F.broadcast(b_ex.select("sha256").distinct()), "sha256",
+                "leftsemi")
+            old_ex = matched_old.groupBy("sha256").agg(
+                F.min("image_id").alias("exemplar"))
+            cross = b_ex.join(F.broadcast(old_ex), "sha256").select(
+                F.col("image_id").alias("a"), F.col("exemplar").alias("b"))
+            exact_inc = exact.dup_edges(b_ex).unionByName(cross) \
+                .localCheckpoint()
+            n_ex = exact_inc.count()
+            metric("inc_exact_edges", n_ex, t0)
+            new_edge_frames.append(exact_inc)
+
+            if self.cfg.use_captions:
+                t0 = time.time()
+                lsh_sigs = self._read_stage("lsh_sigs")
+                caps_new = bsigs.select("image_id", "caption")
+                # probe the PERSISTED band-bucket stage (kb-pruned skinny
+                # scan) — the signature stage is only touched for verify
+                # participants
+                lsh_inc, _ver, dropped, sigs_new = \
+                    ml.incremental_near_dup_edges(
+                        lsh_sigs.select("rep_id", "shingles", "bands"),
+                        caps_new, self.cfg.lsh,
+                        index_buckets=self._read_stage("lsh_buckets"))
+                lsh_inc = lsh_inc.localCheckpoint()
+                cap_map = ml.collapse_groups(caps_new)
+                lsh_sig_rows = sigs_new.join(cap_map, "rep_id") \
+                    .select(*lsh_sigs.columns).localCheckpoint()
+                lsh_bucket_rows = self._bucket_frame(
+                    "lsh_buckets", sigs_new).localCheckpoint()
+                n_lsh = lsh_inc.count()
+                self.metrics.append({"stage": "inc_lsh_dropped_buckets",
+                                     "rows": dropped.count(), "seconds": 0.0})
+                metric("inc_lsh_edges", n_lsh, t0)
+                new_edge_frames.append(lsh_inc)
+
+            if self.cfg.use_phash:
+                t0 = time.time()
+                reps_stage = self._read_stage("phash_reps")
+                pimg_new = bsigs.select("image_id", "phash").filter(
+                    F.col("phash").isNotNull())
+                ph_inc, _ver, dropped_p, reps_new = \
+                    sh.incremental_hamming_edges(
+                        reps_stage, pimg_new, self.cfg.phash_radius,
+                        index_blocks=self._read_stage("phash_blocks"))
+                ph_inc = ph_inc.localCheckpoint()
+                ph_rep_rows = reps_new.select("rep_id", "sig") \
+                    .localCheckpoint()
+                ph_block_rows = self._bucket_frame(
+                    "phash_blocks", reps_new).localCheckpoint()
+                n_ph = ph_inc.count()
+                self.metrics.append({"stage": "inc_phash_dropped_buckets",
+                                     "rows": dropped_p.count(),
+                                     "seconds": 0.0})
+                metric("inc_phash_edges", n_ph, t0)
+                new_edge_frames.append(ph_inc)
+
+            # recluster inputs (lazy, over checkpointed frames + stages)
+            old_assign = self._read_stage("components")
+            old_star = old_assign.filter(
+                F.col("image_id") != F.col("component_id")).select(
+                F.col("image_id").alias("a"),
+                F.col("component_id").alias("b"))
+            all_edges = old_star
+            for e in new_edge_frames:
+                all_edges = all_edges.unionByName(e)
+            all_ids = old_assign.select("image_id").unionByName(
+                bsigs.select("image_id"))
+        except BaseException:
+            os.remove(pending)  # nothing appended — warehouse untouched
+            raise
+
+        # ------------- append window: pre-materialized frames only; a
+        # crash from here on leaves the sentinel in place (markers stale,
+        # rebuild required)
+        t0 = time.time()
+        self.store.append("exact_edges", exact_inc)
+        lineage_append("exact_edges", n_ex)
+        if self.cfg.use_captions:
+            self.store.append("lsh_sigs", lsh_sig_rows)
+            self.store.append("lsh_buckets", lsh_bucket_rows,
+                              partition_by=["kb"])
             self.store.append("lsh_edges", lsh_inc)
             for st in ("lsh_sigs", "lsh_buckets"):
                 lineage_append(st)
-            n_lsh = lsh_inc.count()
             lineage_append("lsh_edges", n_lsh)
-            self.metrics.append({"stage": "inc_lsh_dropped_buckets",
-                                 "rows": dropped.count(), "seconds": 0.0})
-            metric("inc_lsh_edges", n_lsh, t0)
-            new_edge_frames.append(lsh_inc)
-
         if self.cfg.use_phash:
-            t0 = time.time()
-            reps_stage = self._read_stage("phash_reps")
-            pimg_new = bsigs.select("image_id", "phash").filter(
-                F.col("phash").isNotNull())
-            ph_inc, _ver, dropped_p, reps_new = sh.incremental_hamming_edges(
-                reps_stage, pimg_new, self.cfg.phash_radius,
-                index_blocks=self._read_stage("phash_blocks"))
-            ph_inc = ph_inc.localCheckpoint()
-            self.store.append("phash_reps", reps_new.select("rep_id", "sig"))
-            self.store.append(
-                "phash_blocks",
-                ml.with_kb(sh.sig_blocks(reps_new, self.cfg.phash_radius)),
-                partition_by=["kb"])
+            self.store.append("phash_reps", ph_rep_rows)
+            self.store.append("phash_blocks", ph_block_rows,
+                              partition_by=["kb"])
             self.store.append("phash_edges", ph_inc)
             for st in ("phash_reps", "phash_blocks"):
                 lineage_append(st)
-            n_ph = ph_inc.count()
             lineage_append("phash_edges", n_ph)
-            self.metrics.append({"stage": "inc_phash_dropped_buckets",
-                                 "rows": dropped_p.count(), "seconds": 0.0})
-            metric("inc_phash_edges", n_ph, t0)
-            new_edge_frames.append(ph_inc)
-
-        # ---- recluster: old assignment enters as member→root star edges
-        old_assign = self._read_stage("components")
-        old_star = old_assign.filter(
-            F.col("image_id") != F.col("component_id")).select(
-            F.col("image_id").alias("a"), F.col("component_id").alias("b"))
-        all_edges = old_star
-        for e in new_edge_frames:
-            all_edges = all_edges.unionByName(e)
-        all_ids = old_assign.select("image_id").unionByName(
-            bsigs.select("image_id"))
-
         self.store.append("signatures", bsigs)
         lineage_append("signatures")
+        metric("inc_append_window", -1, t0)
+
         # post-append input identity from the signatures stage itself —
         # the "inc:" namespace never collides with run()'s image-frame
         # fingerprint, so a later full run() rebuilds rather than resuming
@@ -637,11 +673,17 @@ class DedupPipeline:
         comps = self._write_stage(
             "components",
             with_singletons(connected_components(all_edges), all_ids))
-        self._write_metrics()
+        self._write_metrics(append_lineage=True)
         os.remove(pending)  # every append landed + markers refreshed
         return comps
 
-    def _write_metrics(self) -> None:
+    def _write_metrics(self, append_lineage: bool = False) -> None:
+        """metrics = this invocation's run log (overwritten each run);
+        lineage = the warehouse's audit history. A full run() rewrites the
+        history (prior records describe stages it just replaced); an
+        incremental run APPENDS, so the full-build records and every prior
+        batch's '+append' rows survive across processes — the audit trail
+        the append path exists to provide."""
         mdf = self.spark.createDataFrame(
             [
                 (m["stage"], int(m["rows"]), float(m["seconds"]), bool(m.get("resumed", False)))
@@ -660,4 +702,7 @@ class DedupPipeline:
                 "stage string, config_hash string, input_fp string, "
                 "rows long, written_at double",
             )
-            self.store.write("lineage", ldf)
+            if append_lineage and self.store.exists("lineage"):
+                self.store.append("lineage", ldf)
+            else:
+                self.store.write("lineage", ldf)

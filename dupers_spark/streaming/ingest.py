@@ -23,6 +23,21 @@ from dupers_spark.operators import exact
 from dupers_spark.sources.datagen import IMAGES_SCHEMA
 
 
+def _committed_parquet(path: str) -> bool:
+    """True iff the directory holds ≥1 COMMITTED parquet file.
+
+    Bare os.path.exists would wedge a restarted stream forever when a
+    crash left only an empty dir / _temporary droppings from the very
+    first batch: exists→read→'unable to infer schema'→retry→same error.
+    Existence of committed data — not of the directory — is the real
+    'index is present' signal."""
+    import glob
+    import os
+
+    return bool(glob.glob(os.path.join(path, "**", "*.parquet"),
+                          recursive=True))
+
+
 def stream_signatures(
     spark: SparkSession,
     input_dir: str,
@@ -43,13 +58,11 @@ def stream_signatures(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        import os
-
         spark_b = batch.sparkSession
-        # existence decides "no table yet"; a failing read of an EXISTING
-        # table propagates so the stream retries instead of re-hashing rows
-        # it already committed (see stream_near_dup_edges)
-        if os.path.exists(signatures_dir):
+        # committed-data presence decides "no table yet"; a failing read of
+        # an existing table propagates so the stream retries instead of
+        # re-hashing rows it already committed (see stream_near_dup_edges)
+        if _committed_parquet(signatures_dir):
             existing = spark_b.read.parquet(signatures_dir).select("image_id")
         else:
             existing = None
@@ -102,20 +115,39 @@ def stream_near_dup_edges(
     def process(batch: DataFrame, batch_id: int) -> None:
         sb = batch.sparkSession
         caps = batch.select("image_id", "caption")
-        # "no index yet" is decided by EXISTENCE, never by a read failure:
-        # a transient/corrupt read after batches have committed must make
-        # the streaming query retry the batch, not silently re-bootstrap
-        # against the batch alone (which would permanently lose cross-batch
-        # near-dup edges from the append-only edge log)
-        if os.path.exists(sig_dir):
+        # "no index yet" is decided by COMMITTED-DATA presence, never by a
+        # swallowed read failure: a transient/corrupt read after batches
+        # have committed must make the streaming query retry the batch, not
+        # silently re-bootstrap against the batch alone (which would
+        # permanently lose cross-batch near-dup edges from the append-only
+        # edge log)
+        if _committed_parquet(sig_dir):
             index = sb.read.parquet(sig_dir).select(
                 "rep_id", "shingles", "bands")
             # steady state probes the persisted band-bucket stage — a
             # skinny kb-pruned scan, not a per-batch re-explosion of the
             # whole signature stage (same contract as
             # DedupPipeline.run_incremental)
-            index_buckets = (sb.read.parquet(bucket_dir)
-                             if os.path.exists(bucket_dir) else None)
+            if _committed_parquet(bucket_dir):
+                index_buckets = sb.read.parquet(bucket_dir)
+            else:
+                # pre-bucket-stage warehouse: backfill the FULL bucket
+                # index once — appending only this batch's buckets would
+                # leave every later probe blind to the whole pre-upgrade
+                # corpus (silent cross-batch edge loss). Staged write +
+                # atomic rename so a crashed backfill can never be taken
+                # for a complete one.
+                import shutil
+
+                tmp = bucket_dir + ".backfill"
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+                ml.with_kb(ml.band_buckets(index, cfg)).repartition("kb") \
+                    .write.partitionBy("kb").parquet(tmp)
+                if os.path.exists(bucket_dir):  # uncommitted droppings only
+                    shutil.rmtree(bucket_dir)
+                os.rename(tmp, bucket_dir)
+                index_buckets = sb.read.parquet(bucket_dir)
             edges, _v, _dropped, sigs_out = ml.incremental_near_dup_edges(
                 index, caps, cfg, index_buckets=index_buckets)
         else:
@@ -128,7 +160,9 @@ def stream_near_dup_edges(
             verified = ml.verify_pairs(pairs, sigs_out, cfg)
             edges = star.unionByName(verified.select("a", "b"))
         edges.write.mode("append").parquet(edge_dir)
-        ml.with_kb(ml.band_buckets(sigs_out, cfg)) \
+        # repartition("kb") → ≈1 file per touched kb per batch, not
+        # tasks×kb tiny files accreting over the stream's lifetime
+        ml.with_kb(ml.band_buckets(sigs_out, cfg)).repartition("kb") \
             .write.mode("append").partitionBy("kb").parquet(bucket_dir)
         sigs_out.select("rep_id", "shingles", "bands") \
             .write.mode("append").parquet(sig_dir)

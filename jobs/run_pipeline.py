@@ -50,6 +50,14 @@ def main() -> None:
     ap.add_argument("--lsh-threshold", type=float, default=0.5)
     ap.add_argument("--psnr-sample", type=float, default=0.05)
     args = ap.parse_args()
+    if args.append:
+        if args.fresh:
+            ap.error("--append and --fresh are mutually exclusive")
+        if not args.images_path:
+            # the default synthetic corpus regenerates the SAME ids the
+            # original run indexed — appending it onto itself would
+            # silently duplicate every signature/rep/edge row
+            ap.error("--append requires --images-path (a batch of NEW rows)")
 
     from dupers_spark.operators.minhash_lsh import LSHConfig
     from dupers_spark.plans.pipeline import DedupPipeline, PipelineConfig
@@ -77,8 +85,6 @@ def main() -> None:
         psnr_sample=args.psnr_sample,
     ))
     if args.append:
-        if args.fresh:
-            ap.error("--append and --fresh are mutually exclusive")
         comps = pipe.run_incremental(images)
     else:
         comps = pipe.run(images)

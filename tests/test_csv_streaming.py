@@ -188,3 +188,53 @@ def test_stream_near_dup_edges_matches_batch(spark, tmp_path):
         connected_components(full_edges), ids).collect()}
     assert got == want
     images.unpersist()
+
+
+def test_stream_near_dup_backfills_bucket_stage(spark, tmp_path):
+    """A pre-bucket-stage warehouse (lsh_sigs present, lsh_buckets absent —
+    written by older code) must have the FULL bucket index backfilled
+    before the first incremental probe: appending only the batch's own
+    buckets would leave every later probe blind to the pre-upgrade corpus
+    and silently lose cross-batch near-dup edges."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dupers_spark.operators import minhash_lsh as ml
+    from dupers_spark.operators.components import (
+        connected_components, with_singletons)
+    from dupers_spark.sources import datagen
+    from dupers_spark.streaming import ingest
+
+    images = datagen.make_images(spark, 100).cache()
+    images.count()
+    parity = F.substring("image_id", -1, 1).cast("int") % 2
+    wh = str(tmp_path / "wh")
+    # simulate the pre-upgrade warehouse: even half's SIGNATURES only
+    caps_old = images.filter(parity == 0).select("image_id", "caption")
+    grouped = ml.collapse_groups(caps_old)
+    ml.signatures(grouped.select("rep_id", "caption")) \
+        .select("rep_id", "shingles", "bands") \
+        .write.parquet(os.path.join(wh, "lsh_sigs"))
+    # old half's star edges belong to the pre-upgrade edge log
+    ml.star_edges(caps_old, grouped).write.parquet(
+        os.path.join(wh, "lsh_edges"))
+
+    # stream in the odd half — its near-dups of the OLD corpus must appear
+    in_dir = str(tmp_path / "in")
+    images.filter(parity == 1).coalesce(1).write.parquet(in_dir)
+    q = ingest.stream_near_dup_edges(
+        spark, in_dir, wh, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    assert os.path.exists(os.path.join(wh, "lsh_buckets"))  # backfilled
+    streamed = spark.read.parquet(os.path.join(wh, "lsh_edges"))
+    full_edges, _v, _d = ml.near_dup_edges(
+        images.select("image_id", "caption"))
+    ids = images.select("image_id")
+    got = {r["image_id"]: r["component_id"] for r in with_singletons(
+        connected_components(streamed), ids).collect()}
+    want = {r["image_id"]: r["component_id"] for r in with_singletons(
+        connected_components(full_edges), ids).collect()}
+    assert got == want
+    images.unpersist()

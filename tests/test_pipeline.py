@@ -235,6 +235,14 @@ def test_incremental_append_is_crash_and_race_evident(spark, images):
         assert comps.count() == N
         assert not os.path.exists(p3._pending())
 
+        # lineage is an APPEND in incremental runs: the full-build records
+        # written by the earlier run() (a different process in production)
+        # must survive alongside the new '+append' audit rows
+        lin_stages = {r["stage"] for r in spark.read.parquet(
+            os.path.join(td, "wh", "lineage")).collect()}
+        assert "signatures" in lin_stages
+        assert "signatures+append" in lin_stages
+
 
 def test_run_incremental_empty_batch_is_noop(spark, images):
     """An empty append batch must leave the assignment unchanged (and not
