@@ -387,19 +387,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def search_suffix_array(spark, sf):
         """Suffix-array index result — must equal the contains-scan oracle.
 
-        The index round-trips through StageStore (build → persist → read →
-        query): what's value-checked here is the PERSISTED index, i.e. the
-        resumable artifact a repeated-query deployment actually probes
-        (reference anchor: the bbolt-backed index, database.go:374-447).
+        The index round-trips through StageStore AND is maintained
+        incrementally (build on the even docs → persist → APPEND the odd
+        docs as new shards → read → query): what's value-checked is the
+        persisted, incrementally-maintained index — the resumable artifact
+        a repeated-query deployment actually probes (reference anchor: the
+        bbolt-backed index + `up`'s new-keys-only puts,
+        database.go:374-447, dupe.go:941-966).
         """
         import tempfile
 
         from dupers_spark.sources.storage import StageStore
 
-        idx = search.build_suffix_index(_docs(spark, sf), "doc_id", "text", shards=8)
+        docs = _docs(spark, sf)
         with tempfile.TemporaryDirectory() as td:
             store = StageStore(spark, td)
-            store.write("suffix_index", idx)
+            store.write("suffix_index", search.build_suffix_index(
+                docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text",
+                shards=8))
+            search.append_suffix_index(
+                store, "suffix_index",
+                docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
             persisted = store.read("suffix_index")
             rows = search.query_suffix_index(persisted, "merge join").select(
                 F.col("doc_id").cast("long").alias("doc_id")

@@ -107,7 +107,8 @@ SA_SCHEMA = T.StructType([
 
 def build_suffix_index(df: DataFrame, id_col: str = "image_id",
                        text_col: str = "caption", shards: int | None = None,
-                       target_shard_bytes: int = 256 << 20) -> DataFrame:
+                       target_shard_bytes: int = 256 << 20,
+                       shard_offset: int = 0) -> DataFrame:
     """One suffix array per shard over concatenated docs.
 
     applyInPandas-per-shard: numpy lexicographic suffix sort. The build is
@@ -120,6 +121,12 @@ def build_suffix_index(df: DataFrame, id_col: str = "image_id",
     shards = ⌈Σ octet_length(text) / target_shard_bytes⌉ (floored at the
     session's parallelism so small corpora still build in parallel); the
     sizing agg is one column-pruned scan, paid once per index build.
+
+    shard_offset: shifts this build's shard ids — the append primitive.
+    An append batch is built as NEW shards beyond the existing index's
+    (see :func:`append_suffix_index`); since every query fans out over
+    all shards and unions doc hits, adding shards is exactly correct —
+    no existing shard is ever re-sorted.
     """
     if shards is None:
         total_bytes = df.select(
@@ -130,7 +137,8 @@ def build_suffix_index(df: DataFrame, id_col: str = "image_id",
                      4, by_volume)
 
     sharded = df.select(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int").alias("shard_id"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int")
+         + F.lit(shard_offset)).alias("shard_id"),
         F.col(id_col).cast("string").alias("doc_id"),
         F.col(text_col).alias("text"),
     )
@@ -154,6 +162,33 @@ def build_suffix_index(df: DataFrame, id_col: str = "image_id",
         }])
 
     return sharded.groupBy("shard_id").applyInPandas(build, schema=SA_SCHEMA)
+
+
+def append_suffix_index(store, name: str, new_docs: DataFrame,
+                        id_col: str = "image_id", text_col: str = "caption",
+                        target_shard_bytes: int = 256 << 20) -> DataFrame:
+    """Incremental SA maintenance: index an append batch as NEW shards and
+    append them to the persisted stage — dupers' `up` for the search index
+    (the reference re-puts only new keys into the bbolt index,
+    dupe.go:941-966; here a batch adds sorted shards, never re-sorting the
+    existing ones).
+
+    Correctness is structural: a query is a fan-out over all shards with a
+    union of doc hits, so (old shards ∪ batch shards) answers exactly like
+    a from-scratch rebuild over (old ∪ batch) — the shard partition of the
+    corpus differs, the answer set cannot. Many small appends accrete many
+    small shards (query cost grows with shard count); compact by
+    rebuilding when shard count ≫ volume-derived count.
+
+    Returns the appended shard frame. The max-shard-id agg is one-row.
+    """
+    existing = store.read(name)
+    offset = (existing.agg(F.max("shard_id")).collect()[0][0] or 0) + 1
+    idx_new = build_suffix_index(new_docs, id_col, text_col,
+                                 target_shard_bytes=target_shard_bytes,
+                                 shard_offset=offset)
+    store.append(name, idx_new)
+    return idx_new
 
 
 def query_suffix_index(index: DataFrame, term: str) -> DataFrame:

@@ -71,6 +71,38 @@ def test_suffix_index_persists_and_resumes(spark, images_small, tmp_path):
         assert via_disk == via_scan, term
 
 
+def test_suffix_index_incremental_append_equals_rebuild(spark, images_small,
+                                                        tmp_path):
+    """Incremental SA maintenance: index half the corpus, append the other
+    half as new shards — every query on the persisted index must answer
+    exactly like a from-scratch build over everything, and the existing
+    shards must be untouched (same shard_ids, batch shards strictly
+    beyond them)."""
+    from pyspark.sql import functions as F
+
+    from dupers_spark.sources.storage import StageStore
+
+    parity = F.substring("image_id", -1, 1).cast("int") % 2
+    old, new = images_small.filter(parity == 0), images_small.filter(parity == 1)
+    store = StageStore(spark, str(tmp_path))
+    store.write("suffix_index", search.build_suffix_index(old))
+    before = store.read("suffix_index")
+    max_old, n_old = before.agg(
+        F.max("shard_id"), F.count("*")).collect()[0]
+    search.append_suffix_index(store, "suffix_index", new)
+    merged = store.read("suffix_index")
+    # batch landed as NEW shards only; the old shard rows are untouched
+    assert merged.filter(F.col("shard_id") <= max_old).count() == n_old
+    assert merged.agg(F.max("shard_id")).collect()[0][0] > max_old
+    for term in ["tiger", "brisk large", "zzz-not-there"]:
+        via_index = {r["doc_id"]
+                     for r in search.query_suffix_index(merged, term).collect()}
+        via_scan = {r["image_id"]
+                    for r in search.search_contains(images_small, term)
+                    .select("image_id").collect()}
+        assert via_index == via_scan, term
+
+
 def test_suffix_probe_heavy_term_is_vectorized(spark):
     """A term occurring ~10⁵ times inside ONE shard must not trigger a
     per-occurrence Python walk: the probe is two binary searches plus one
