@@ -380,6 +380,64 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5,
     )
 
 
+def ivf_index_write(store, name: str, corpus: DataFrame,
+                    n_centroids: int = 64, iters: int = 5, seed: int = 42,
+                    sample: int = 50_000, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Build and PERSIST the IVF index as two stage tables:
+    ``<name>_centroids`` (centroid_id, vec — k·dim floats) and
+    ``<name>_assigned`` (id, vec, centroid_id), the latter partitioned by
+    centroid_id so a query's literal bucket-union isin() prunes whole
+    partitions at the scan (ivf_topk's np path already emits exactly that
+    predicate). Returns the centroid matrix."""
+    C = ivf_centroids(corpus, n_centroids, iters, seed, sample,
+                      id_col, vec_col)
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        f"centroid_id int, {vec_col} array<float>")
+    store.write(f"{name}_centroids", cdf)
+    store.write(f"{name}_assigned", ivf_assign(corpus, C, id_col, vec_col),
+                partition_by=["centroid_id"])
+    return C
+
+
+def ivf_index_centroids(store, name: str,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Read the persisted centroid matrix back (k rows — driver-sized by
+    construction, the one sanctioned collect of this module's index I/O)."""
+    rows = store.read(f"{name}_centroids").orderBy("centroid_id").collect()
+    return np.array([r[vec_col] for r in rows], dtype=np.float32)
+
+
+def ivf_index_append(store, name: str, new_vecs: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Incremental IVF maintenance — FROZEN centroids, exactly how a
+    production IVF serves appends: assign the batch to the existing
+    centroids and append to the assigned stage. Queries over the grown
+    index equal queries over a from-scratch assignment of the union with
+    the same centroids, because assignment is a pure per-row function of
+    (vector, centroids). Re-train centroids (ivf_index_write) only when
+    drift degrades the bucket balance."""
+    C = ivf_index_centroids(store, name, vec_col)
+    store.append(f"{name}_assigned",
+                 ivf_assign(new_vecs, C, id_col, vec_col),
+                 partition_by=["centroid_id"])
+
+
+def ivf_index_topk(store, name: str, probes: DataFrame, k: int = 5,
+                   nprobe: int = 8, rerank: str = "np",
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Query the persisted IVF index (centroids + partitioned assignment)."""
+    C = ivf_index_centroids(store, name, vec_col)
+    assigned = store.read(f"{name}_assigned")
+    return ivf_topk(assigned, probes, k=k, nprobe=nprobe, rerank=rerank,
+                    centroids=C, index=assigned,
+                    id_col=id_col, vec_col=vec_col)
+
+
 def cosine_pairs_exact(corpus: DataFrame, threshold: float,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """EXACT all-pairs cosine ≥ τ — O(n²) verification/oracle variant.

@@ -208,3 +208,40 @@ def test_incremental_embedding_matches_full_build(spark):
     assert got == want and len(want) > 0
     # appended index covers the whole corpus
     assert index.count() + index_new.count() == rows.count()
+
+
+def test_ivf_index_persist_append_query(spark, tmp_path):
+    """Persisted IVF index: build on the even half, append the odd half
+    with FROZEN centroids — querying the grown index must equal a query
+    over a from-scratch assignment of the union with the same centroids
+    (assignment is a pure per-row function of (vector, centroids)), and
+    the query's scan must partition-prune to the selected buckets."""
+    import re
+
+    from dupers_spark.sources.storage import StageStore
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    store = StageStore(spark, str(tmp_path))
+    C = ann.ivf_index_write(store, "ivf", old, n_centroids=8, sample=1000)
+    ann.ivf_index_append(store, "ivf", new)
+
+    probes = emb.filter(F.col("vec_id") < 4)
+    got_df = ann.ivf_index_topk(store, "ivf", probes, k=3, nprobe=3)
+    got = {(r["probe_id"], r["rnk"], r["neighbor_id"])
+           for r in got_df.collect()}
+    # reference: same centroids, union assigned in one shot
+    full_assigned = ann.ivf_assign(emb, C)
+    want = {(r["probe_id"], r["rnk"], r["neighbor_id"])
+            for r in ann.ivf_topk(full_assigned, probes, k=3, nprobe=3,
+                                  centroids=C,
+                                  index=full_assigned).collect()}
+    assert got == want and len(want) == 12  # 4 probes × k=3
+
+    # the persisted assignment is centroid_id-partitioned and the query's
+    # literal bucket-union isin() reaches it as PartitionFilters
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1)

@@ -21,10 +21,11 @@ def test_no_collect_in_operators():
     """Operators must stay distributed — driver-side .collect() loops are
     forbidden in the operator layer (allowed in tests/bench only).
     Sanctioned uses: connected_components' convergence aggregate
-    (components.py), three bounded collects in ann.py —
+    (components.py), four bounded collects in ann.py —
     brute_force_topk_np's probe matrix (small by contract, broadcast),
-    ivf_centroids' hash-ordered LIMIT-``sample`` training rows, and
-    ivf_topk's probe matrix (same contract as brute_force_topk_np) — and
+    ivf_centroids' hash-ordered LIMIT-``sample`` training rows,
+    ivf_topk's probe matrix (same contract as brute_force_topk_np), and
+    ivf_index_centroids' k-row centroid-table read — and
     build_suffix_index's one-row Σ octet_length sizing aggregate and
     append_suffix_index's one-row max-shard-id aggregate (search.py);
     prune_index_by_kb's touched-partition collect (minhash_lsh.py) is
@@ -32,7 +33,7 @@ def test_no_collect_in_operators():
     literal isin list that makes the bucket-stage scan partition-prune."""
     # exact expected counts, not whole-file exemptions: a NEW collect added
     # to these files must fail this gate until adjudicated here
-    allowed_counts = {"components.py": 1, "ann.py": 3, "search.py": 2,
+    allowed_counts = {"components.py": 1, "ann.py": 4, "search.py": 2,
                       "minhash_lsh.py": 1}
     offenders = []
     for py in (PKG / "operators").glob("*.py"):
