@@ -112,8 +112,25 @@ def compact_stage(spark: SparkSession, path: str,
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
+    # a partitioned stage (kb=…/centroid_id=… dirs — the bucket indexes,
+    # whose appends accrete ~1 file per touched partition per batch) must
+    # come out of compaction STILL partitioned, or every probe loses its
+    # partition pruning; detect the layout from the directory names
+    part_cols = sorted({
+        seg.split("=", 1)[0]
+        for f in files
+        for seg in os.path.relpath(f, path).split(os.sep)[:-1]
+        if "=" in seg
+    })
     tmp = path.rstrip("/") + ".compact"
-    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    if part_cols:
+        # one file per partition value: each partition's data is small by
+        # construction (corpus / KB_PARTITIONS), so per-partition file
+        # count — not global target size — is the right shape here
+        df.repartition(*part_cols).write.mode("overwrite") \
+            .partitionBy(*part_cols).parquet(tmp)
+    else:
+        df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
     rows = spark.read.parquet(tmp).count()
     # preserve non-parquet sidecars (stage markers) across the swap
     sidecars = {}

@@ -144,6 +144,34 @@ def test_compact_heals_crashed_swap(spark):
         assert not os.path.exists(path + ".old")
 
 
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """Compacting a partitioned stage (the bucket indexes, which accrete
+    ~1 file per touched partition per append) must keep the partition
+    directories — losing them would silently kill every probe's partition
+    pruning — while cutting the file count."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from dupers_spark.plans.pipeline import compact_stage
+
+    path = str(tmp_path / "stage")
+    df = spark.range(2000).select(
+        "id", (F.col("id") % 8).cast("int").alias("kb"))
+    # two appends → 2 files per kb partition
+    for _ in range(2):
+        df.repartition("kb").write.mode("append").partitionBy("kb") \
+            .parquet(path)
+    before = len(glob.glob(path + "/**/*.parquet", recursive=True))
+    res = compact_stage(spark, path)
+    assert res["rows"] == 4000
+    assert res["files_after"] < before
+    kb_dirs = {d for d in glob.glob(path + "/kb=*")}
+    assert len(kb_dirs) == 8  # layout intact
+    out = spark.read.parquet(path)
+    assert out.count() == 4000 and "kb" in out.columns
+
+
 def test_run_incremental_matches_full_rebuild(spark, images):
     """Pipeline-level append (`dupers up` on new files only): full run over
     the even half, run_incremental with the odd half — the final
