@@ -176,6 +176,53 @@ def stream_near_dup_edges(
     return writer.start()
 
 
+def stream_pipeline_appends(
+    spark: SparkSession,
+    input_dir: str,
+    cfg,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Continuous FULL-pipeline maintenance: each micro-batch of new images
+    runs ``DedupPipeline.run_incremental`` against the completed warehouse
+    — exact digests, caption LSH and phash engines probe their persisted
+    index stages, append, and recluster, with the pipeline's whole
+    hardening intact (``_INC_PENDING`` exclusivity, append lineage rows,
+    markers refreshed last). The streaming twin of `dupers up` for the
+    entire engine, not just one index.
+
+    cfg: the PipelineConfig of an EXISTING warehouse built by ``run()``.
+
+    Retry semantics: foreachBatch is at-least-once, but pipeline appends
+    are not idempotent — a crash mid-append leaves the sentinel, so the
+    RETRY refuses loudly (the streaming query fails) instead of silently
+    double-appending; recover with a full ``run()`` over the union, which
+    clears the sentinel. This is deliberate: loud stop + rebuild beats
+    silent duplicate signatures/edges.
+    """
+    from dupers_spark.plans.pipeline import DedupPipeline
+
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):  # empty trigger — nothing to append
+            return
+        DedupPipeline(batch.sparkSession, cfg).run_incremental(batch)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -190,6 +190,44 @@ def test_stream_near_dup_edges_matches_batch(spark, tmp_path):
     images.unpersist()
 
 
+def test_stream_pipeline_appends_matches_full_rebuild(spark, tmp_path):
+    """Continuous full-pipeline maintenance: run() on the even half, then
+    stream the odd half in two micro-batches through run_incremental —
+    the final components stage must equal a full rebuild over everything
+    (all three engines' cross-batch links straddle the splits)."""
+    from pyspark.sql import functions as F
+
+    from dupers_spark.plans.pipeline import DedupPipeline, PipelineConfig
+    from dupers_spark.sources import datagen
+    from dupers_spark.streaming import ingest
+
+    images = datagen.make_images(spark, 100).cache()
+    images.count()
+    parity = F.substring("image_id", -1, 1).cast("int") % 2
+    wh = str(tmp_path / "wh")
+    cfg = PipelineConfig(warehouse=wh)
+    DedupPipeline(spark, cfg).run(images.filter(parity == 0))
+
+    quarter = F.substring("image_id", -1, 1).cast("int") % 4
+    in_dir = str(tmp_path / "in")
+    odd = images.filter(parity == 1)
+    odd.filter(quarter == 1).coalesce(1).write.parquet(in_dir + "/q=a")
+    odd.filter(quarter == 3).coalesce(1).write.mode("append").parquet(
+        in_dir + "/q=b")
+    q = ingest.stream_pipeline_appends(
+        spark, in_dir + "/q=*", cfg, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = {(r["image_id"], r["component_id"]) for r in
+           spark.read.parquet(wh + "/components").collect()}
+    cfg_full = PipelineConfig(warehouse=str(tmp_path / "wh_full"))
+    want = {(r["image_id"], r["component_id"]) for r in
+            DedupPipeline(spark, cfg_full).run(images).collect()}
+    assert got == want
+    images.unpersist()
+
+
 def test_stream_near_dup_backfills_bucket_stage(spark, tmp_path):
     """A pre-bucket-stage warehouse (lsh_sigs present, lsh_buckets absent —
     written by older code) must have the FULL bucket index backfilled
