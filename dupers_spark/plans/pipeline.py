@@ -42,7 +42,11 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dupers_spark.operators import exact, minhash_lsh as ml, simhash as sh
-from dupers_spark.operators.components import connected_components, with_singletons
+from dupers_spark.operators.components import (
+    connected_components,
+    incremental_components,
+    with_singletons,
+)
 
 
 @dataclass(frozen=True)
@@ -472,9 +476,13 @@ class DedupPipeline:
             that key — the verified sim-1.0 / dist-0 edge keeps the
             cluster correct, and the index grows with batches, not with
             the corpus.
-          * components: re-clustered over (previous assignment as star
-            edges ∪ the new edge families) — a batch row bridging two old
-            clusters relabels both, exactly as a full rebuild would.
+          * components: contracted-graph recluster
+            (components.incremental_components) — touched old components
+            collapse to their labels, CC runs over the O(batch) contracted
+            edge set, and the corpus assignment is updated by one map-side
+            broadcast-relabel pass. A batch row bridging two old clusters
+            relabels both, byte-identically to a full rebuild, without a
+            corpus-sized CC per append.
           * crash + concurrency safety: appends are not idempotent, so the
             whole append window is guarded by an O_EXCL ``_INC_PENDING``
             sentinel — a concurrent run_incremental on the same warehouse
@@ -627,17 +635,22 @@ class DedupPipeline:
                 metric("inc_phash_edges", n_ph, t0)
                 new_edge_frames.append(ph_inc)
 
-            # recluster inputs (lazy, over checkpointed frames + stages)
+            # recluster via the CONTRACTED graph (components.py): old
+            # components touched by the batch collapse to their labels, CC
+            # runs over the O(batch) contracted edge set, and the corpus is
+            # relabeled in one map-side broadcast pass — zero corpus
+            # shuffles and no corpus-sized star-forest CC per append. The
+            # contracted CC runs eagerly HERE (read-only, so a failure
+            # still leaves the warehouse untouched); the returned
+            # corpus-size frame stays lazy until the post-append write.
+            t0 = time.time()
             old_assign = self._read_stage("components")
-            old_star = old_assign.filter(
-                F.col("image_id") != F.col("component_id")).select(
-                F.col("image_id").alias("a"),
-                F.col("component_id").alias("b"))
-            all_edges = old_star
-            for e in new_edge_frames:
-                all_edges = all_edges.unionByName(e)
-            all_ids = old_assign.select("image_id").unionByName(
-                bsigs.select("image_id"))
+            new_edges_all = new_edge_frames[0]
+            for e in new_edge_frames[1:]:
+                new_edges_all = new_edges_all.unionByName(e)
+            final_assign = incremental_components(
+                old_assign, new_edges_all, bsigs.select("image_id"))
+            metric("inc_components_contracted", -1, t0)
         except BaseException:
             os.remove(pending)  # nothing appended — warehouse untouched
             raise
@@ -668,16 +681,31 @@ class DedupPipeline:
         lineage_append("signatures")
         metric("inc_append_window", -1, t0)
 
-        # post-append input identity from the signatures stage itself —
-        # the "inc:" namespace never collides with run()'s image-frame
-        # fingerprint, so a later full run() rebuilds rather than resuming
-        fp = self._read_stage("signatures").agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.expr("bit_xor(xxhash64(image_id, sha256, phash, caption))"),
-                F.lit(0)).alias("h"),
-        ).collect()[0]
-        self._input_fp = f"inc:{fp['n']}:{fp['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
+        # post-append input identity — the "inc:" namespace never collides
+        # with run()'s image-frame fingerprint, so a later full run()
+        # rebuilds rather than resuming. count+xor compose, so the steady
+        # state combines the previous marker's fp with a BATCH-only
+        # aggregate (the checkpointed bsigs — no corpus scan per append);
+        # only the first append after a full run(), whose marker carries
+        # the differently-derived image-frame fp, pays one full
+        # signatures-stage aggregate to seed the inc chain.
+        fp_expr = F.coalesce(
+            F.expr("bit_xor(xxhash64(image_id, sha256, phash, caption))"),
+            F.lit(0)).alias("h")
+        bfp = bsigs.agg(F.count("*").alias("n"), fp_expr).collect()[0]
+        sig_marker = self._marker("signatures")
+        prev_fp = (open(sig_marker).read().strip().split(":", 1)[1]
+                   if os.path.exists(sig_marker) else "")
+        if prev_fp.startswith("inc:"):
+            _, n0, h0 = prev_fp.split(":")
+            n_total = int(n0) + int(bfp["n"])
+            h_total = int(h0, 16) ^ (bfp["h"] & 0xFFFFFFFFFFFFFFFF)
+        else:
+            fp = self._read_stage("signatures").agg(
+                F.count("*").alias("n"), fp_expr).collect()[0]
+            n_total = int(fp["n"])
+            h_total = fp["h"] & 0xFFFFFFFFFFFFFFFF
+        self._input_fp = f"inc:{n_total}:{h_total:016x}"
         for rec in self.lineage:
             if rec["stage"].endswith("+append") and not rec["input_fp"]:
                 rec["input_fp"] = self._input_fp
@@ -687,9 +715,7 @@ class DedupPipeline:
             with open(self._marker(name), "w") as fh:
                 fh.write(self._marker_value())
 
-        comps = self._write_stage(
-            "components",
-            with_singletons(connected_components(all_edges), all_ids))
+        comps = self._write_stage("components", final_assign)
         self._write_metrics(append_lineage=True)
         os.remove(pending)  # every append landed + markers refreshed
         return comps

@@ -145,6 +145,28 @@ def test_bucket_stage_probe_prunes_kb_partitions(spark, tmp_path):
     assert pruned.select("kb").distinct().count() <= 1  # 1 of 64 read
 
 
+def test_incremental_components_relabel_is_broadcast_only(spark):
+    """incremental_components' returned corpus-size frame must touch the
+    old assignment with map-side work only: the relabel join is a
+    BroadcastHashJoin (the relabel map is O(batch)) and no SortMergeJoin /
+    ShuffledHashJoin appears anywhere — a corpus shuffle per append batch
+    is exactly what the contracted-graph formulation exists to kill."""
+    from dupers_spark.operators.components import incremental_components
+
+    old = spark.range(5000).selectExpr(
+        "concat('img', id) AS image_id",
+        "concat('img', id - (id % 5)) AS component_id")
+    delta = spark.createDataFrame(
+        [("n1", "img0"), ("n1", "img5"), ("n2", "n3")], ["a", "b"])
+    new_ids = spark.createDataFrame(
+        [("n1",), ("n2",), ("n3",), ("n4",)], ["image_id"])
+    out = incremental_components(old, delta, new_ids)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_pipeline_incremental_probe_reads_bucket_stage(spark, monkeypatch,
                                                        tmp_path):
     """run_incremental must probe the PERSISTED lsh_buckets / phash_blocks
