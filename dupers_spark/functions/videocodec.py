@@ -1,0 +1,170 @@
+"""Pure-stdlib RIFF/AVI video container codec (uncompressed 24-bit DIB).
+
+The container has no ffmpeg/opencv, so — exactly like the WAV-PCM move for
+audio (multimodal._wav_features) — we support the one mainstream video
+container whose frames need no codec library: AVI with BI_RGB (biCompression
+= 0) 24-bit DIB frames ('00db' chunks). That is a REAL format every player
+reads; the layout is the public MSDN/OpenDML AVI spec (RIFF 'AVI ' → LIST
+hdrl(avih, LIST strl(strh 'vids', strf BITMAPINFOHEADER)) → LIST movi →
+idx1), and each frame's pixel payload is byte-identical to the BMP DIB
+layout already implemented in functions/imagecodec.py (bottom-up rows, BGR,
+4-byte row alignment). Compressed codecs (H.264, MJPG, …) are detected via
+biCompression/strh.fccHandler and raise ``UnsupportedVideo`` — callers
+record decode_ok=False, never silently skip.
+
+Reference parity: dupers treats media as opaque bytes and hashes them
+(pkg/dupe/dupe.go:129-157); this module is part of the §2.8 multimodal
+extension (decode / frame-sample as Arrow-batched UDFs), not a port.
+
+All functions are deterministic (no wall clock, no RNG) so the
+two-parallelism scaling benchmark doubles as a correctness check.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class UnsupportedVideo(NotImplementedError):
+    """Raised for any video payload that would need a codec library."""
+
+
+def _pad_row(w: int) -> int:
+    return (w * 3 + 3) & ~3
+
+
+def _dib_bits(frame: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 → bottom-up BGR rows, 4-byte aligned (BI_RGB)."""
+    h, w, _ = frame.shape
+    stride = _pad_row(w)
+    rows = frame[::-1, :, ::-1]  # bottom-up, RGB→BGR
+    out = np.zeros((h, stride), dtype=np.uint8)
+    out[:, : w * 3] = rows.reshape(h, w * 3)
+    return out.tobytes()
+
+
+def _undib_bits(data: bytes, w: int, h: int) -> np.ndarray:
+    stride = _pad_row(w)
+    if len(data) < stride * h:
+        raise UnsupportedVideo("frame chunk shorter than DIB geometry")
+    arr = np.frombuffer(data[: stride * h], dtype=np.uint8).reshape(h, stride)
+    rows = arr[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].copy()  # top-down, BGR→RGB
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""  # RIFF chunks are even-sized
+    return tag + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(fourcc: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", fourcc + payload)
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 30) -> bytes:
+    """Frames (each (h, w, 3) RGB uint8, all same shape) → real AVI bytes.
+
+    Writes the standard RIFF structure including the idx1 index, so the
+    output opens in any AVI reader — used to synthesize test/benchmark
+    fixtures (the repo policy: deterministic fakes only where the MATH is
+    faked; this container is real, only its content is synthetic).
+    """
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w, _ = frames[0].shape
+    usec = int(round(1_000_000 / fps))
+    n = len(frames)
+    frame_bytes = _pad_row(w) * h
+
+    avih = struct.pack(
+        "<14I", usec, frame_bytes * fps, 0, 0x10, n, 0, 1, frame_bytes,
+        w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+
+    movi_chunks, idx, off = [], [], 4  # offsets relative to 'movi' fourcc
+    for fr in frames:
+        if fr.shape != (h, w, 3):
+            raise ValueError("all frames must share one shape")
+        bits = _dib_bits(fr)
+        movi_chunks.append(_chunk(b"00db", bits))
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, len(bits)))
+        off += 8 + len(bits) + (len(bits) & 1)
+    movi = _list(b"movi", b"".join(movi_chunks))
+    idx1 = _chunk(b"idx1", b"".join(idx))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _iter_chunks(data: bytes, start: int, end: int):
+    """Yield (tag, payload_start, payload_len) over a RIFF chunk run."""
+    pos = start
+    while pos + 8 <= end:
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield tag, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def probe_avi(data: bytes) -> dict:
+    """Parse container metadata WITHOUT decoding pixels → dict with
+    width, height, fps, n_frames, fourcc, compression. Raises
+    UnsupportedVideo on non-AVI bytes or codec-compressed streams."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise UnsupportedVideo("not a RIFF/AVI payload")
+    meta: dict = {}
+    for tag, p, n in _iter_chunks(data, 12, len(data)):
+        if tag != b"LIST" or data[p:p + 4] != b"hdrl":
+            continue
+        for t2, p2, n2 in _iter_chunks(data, p + 4, p + n):
+            if t2 == b"avih":
+                f = struct.unpack_from("<14I", data, p2)
+                meta.update(usec_per_frame=f[0], n_frames=f[4],
+                            width=f[8], height=f[9])
+            elif t2 == b"LIST" and data[p2:p2 + 4] == b"strl":
+                for t3, p3, n3 in _iter_chunks(data, p2 + 4, p2 + n2):
+                    if t3 == b"strh" and data[p3:p3 + 4] == b"vids":
+                        meta["fourcc"] = data[p3 + 4:p3 + 8].decode(
+                            "ascii", "replace").strip()
+                    elif t3 == b"strf" and "compression" not in meta:
+                        bi = struct.unpack_from("<IiiHHI", data, p3)
+                        meta["compression"] = bi[5]
+                        meta["bit_count"] = bi[4]
+        break
+    if "width" not in meta:
+        raise UnsupportedVideo("AVI without an avih header")
+    if meta.get("compression", 0) != 0 or meta.get("bit_count", 24) != 24:
+        raise UnsupportedVideo(
+            f"compressed/non-24-bit video ({meta.get('fourcc')!r}, "
+            f"biCompression={meta.get('compression')}) needs a codec "
+            "library absent from this container")
+    meta["fps"] = (round(1_000_000 / meta["usec_per_frame"], 3)
+                   if meta["usec_per_frame"] else 0.0)
+    return meta
+
+
+def iter_avi_frames(data: bytes, every_n: int = 1):
+    """Yield (frame_no, (h, w, 3) RGB uint8) for frames 0, every_n,
+    2·every_n, … — only SAMPLED frames are decoded; skipped chunks cost a
+    header read. Uncompressed '00db'/'00dc' BI_RGB chunks only."""
+    meta = probe_avi(data)
+    w, h = meta["width"], meta["height"]
+    frame_no = 0
+    for tag, p, n in _iter_chunks(data, 12, len(data)):
+        if tag != b"LIST" or data[p:p + 4] != b"movi":
+            continue
+        for t2, p2, n2 in _iter_chunks(data, p + 4, p + n):
+            if t2[2:4] not in (b"db", b"dc"):
+                continue  # audio / index droppings
+            if frame_no % every_n == 0:
+                yield frame_no, _undib_bits(data[p2:p2 + n2], w, h)
+            frame_no += 1
+        break

@@ -14,8 +14,10 @@ pipelines expose the same switch (PipelineConfig.fast).
 
 Audio: WAV-PCM decode is REAL (stdlib ``wave`` needs no codec —
 duration/RMS/clipping/spectral-centroid features); compressed audio rows
-surface as decode_ok=False. Video remains the sole declared stub (frame
-decode genuinely requires codec libraries absent from the container).
+surface as decode_ok=False. Video: RIFF/AVI with uncompressed 24-bit DIB
+frames is REAL too (functions/videocodec.py — frame sampling, per-frame
+phash, container metadata); codec-compressed payloads (H.264, MJPG, …)
+surface as decode_ok=False. Nothing in this module is a stub anymore.
 """
 
 from __future__ import annotations
@@ -284,11 +286,117 @@ def audio_features(media: DataFrame, id_col: str = "media_id",
     return src.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("frame_no", T.IntegerType(), True),
+    T.StructField("ts_s", T.DoubleType(), True),
+    T.StructField("frame_png", T.BinaryType(), True),
+    T.StructField("decode_ok", T.BooleanType(), False),
+])
+
+
 def sample_video_frames(media: DataFrame, every_n: int = 30,
                         id_col: str = "media_id",
                         bytes_col: str = "bytes") -> DataFrame:
-    """STUB: video frame sampling requires codec libraries absent from this
-    container. Schema: (media_id, frame_no, frame_png binary)."""
-    raise NotImplementedError(
-        "video decoding unavailable in this container; see module docstring"
-    )
+    """Video frame sampling — REAL for RIFF/AVI with uncompressed 24-bit
+    DIB frames (functions/videocodec.py): frames 0, every_n, 2·every_n, …
+    are decoded (skipped chunks cost a header read, not a pixel decode)
+    and re-encoded as PNG rows. Payloads needing codec libraries surface
+    as ONE decode_ok=False row per video — accounted, never dropped.
+
+    Arrow-batched mapInPandas, one output row per sampled frame: the fan-
+    out (rows ≈ Σ n_frames/every_n) happens executor-side, so a 100 TB
+    video corpus becomes a frames table without any driver involvement.
+    """
+    from dupers_spark.functions.imagecodec import encode_png
+    from dupers_spark.functions.videocodec import iter_avi_frames, probe_avi
+
+    src = media.select(F.col(id_col).alias("media_id"),
+                       F.col(bytes_col).alias("bytes"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, fnos, tss, pngs, oks = [], [], [], [], []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                try:
+                    meta = probe_avi(bytes(data or b""))
+                    fps = meta["fps"] or 30.0
+                    for fno, px in iter_avi_frames(bytes(data), every_n):
+                        mids.append(mid)
+                        fnos.append(fno)
+                        tss.append(fno / fps)
+                        pngs.append(encode_png(px))
+                        oks.append(True)
+                except Exception:
+                    mids.append(mid)
+                    fnos.append(None)
+                    tss.append(None)
+                    pngs.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({
+                "media_id": pd.array(mids, dtype="string"),
+                "frame_no": pd.array(fnos, dtype="Int32"),
+                "ts_s": pd.array(tss, dtype="Float64"),
+                "frame_png": pngs,
+                "decode_ok": pd.array(oks, dtype="boolean"),
+            })
+
+    return src.mapInPandas(extract, schema=VIDEO_FRAMES_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("fps", T.DoubleType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("frame_phashes", T.ArrayType(T.LongType()), True),
+    T.StructField("decode_ok", T.BooleanType(), False),
+])
+
+
+def video_features(media: DataFrame, every_n: int = 30,
+                   id_col: str = "media_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Per-video container metadata + the sampled frame-phash SEQUENCE —
+    the video analogue of image_features, and the signature the video
+    near-dup engine (operators/video.py) builds on: two videos sharing
+    most sampled-frame phashes (trimmed/re-muxed/shifted copies) are
+    near-duplicates. One row per video, decode_ok=False accounting for
+    codec-compressed payloads."""
+    from dupers_spark.functions.imagecodec import average_phash as aph
+    from dupers_spark.functions.videocodec import iter_avi_frames, probe_avi
+
+    src = media.select(F.col(id_col).alias("media_id"),
+                       F.col(bytes_col).alias("bytes"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                try:
+                    b = bytes(data or b"")
+                    meta = probe_avi(b)
+                    fps = meta["fps"]
+                    hashes = [aph(px)  # already signed-int64 (LongType)
+                              for _, px in iter_avi_frames(b, every_n)]
+                    dur = meta["n_frames"] / fps if fps else None
+                    rows.append((mid, meta["n_frames"], fps, dur,
+                                 meta["width"], meta["height"], hashes, True))
+                except Exception:
+                    rows.append((mid, None, None, None, None, None, None,
+                                 False))
+            cols = list(zip(*rows)) if rows else [[]] * 8
+            yield pd.DataFrame({
+                "media_id": pd.array(cols[0], dtype="string"),
+                "n_frames": pd.array(cols[1], dtype="Int32"),
+                "fps": pd.array(cols[2], dtype="Float64"),
+                "duration_s": pd.array(cols[3], dtype="Float64"),
+                "width": pd.array(cols[4], dtype="Int32"),
+                "height": pd.array(cols[5], dtype="Int32"),
+                "frame_phashes": cols[6],
+                "decode_ok": pd.array(cols[7], dtype="boolean"),
+            })
+
+    return src.mapInPandas(extract, schema=VIDEO_FEATURES_SCHEMA)

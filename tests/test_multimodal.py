@@ -122,7 +122,95 @@ def test_audio_features_real_wav_pcm(spark):
     assert not rows["junk"]["decode_ok"]
 
 
-def test_video_stub_raises(spark):
-    df = spark.createDataFrame([("m1", b"x")], ["media_id", "bytes"])
+# ---------------------------------------------------------------- video
+
+def _frame(seed: int, i: int, w: int = 32, h: int = 24):
+    """Deterministic coarse-block frame: distinct phash per (seed, i)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed * 100_003 + i)
+    block = rng.integers(0, 256, (h // 8, w // 8, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(block, 8, axis=0), 8, axis=1)
+
+
+def _make_video(seed: int, n_frames: int, fps: int = 10) -> bytes:
+    from dupers_spark.functions.videocodec import encode_avi
+
+    return encode_avi([_frame(seed, i) for i in range(n_frames)], fps=fps)
+
+
+def test_avi_codec_roundtrip():
+    """encode_avi → iter_avi_frames reproduces every pixel; probe_avi reads
+    the container geometry without decoding."""
+    import numpy as np
+
+    from dupers_spark.functions import videocodec as vc
+
+    frames = [_frame(7, i) for i in range(5)]
+    data = vc.encode_avi(frames, fps=25)
+    meta = vc.probe_avi(data)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (32, 24, 5)
+    assert meta["fps"] == 25.0 and meta["fourcc"] == "DIB"
+    decoded = list(vc.iter_avi_frames(data))
+    assert [f for f, _ in decoded] == [0, 1, 2, 3, 4]
+    for (_, px), orig in zip(decoded, frames):
+        assert np.array_equal(px, orig)
+    # odd width exercises 4-byte row padding
+    odd = [_frame(9, 0)[:, :31], _frame(9, 1)[:, :31]]
+    rt = list(vc.iter_avi_frames(vc.encode_avi(odd, fps=10)))
+    assert np.array_equal(rt[1][1], odd[1])
     with pytest.raises(NotImplementedError):
-        mm.sample_video_frames(df)
+        vc.probe_avi(b"RIFFxxxxNOPE")
+
+
+def test_video_frame_sampling(spark):
+    """sample_video_frames decodes only frames 0, n, 2n, … re-encoded as
+    PNG; undecodable payloads surface as ONE decode_ok=False row."""
+    import numpy as np
+
+    from dupers_spark.functions.imagecodec import decode_png
+
+    vid = _make_video(1, n_frames=10, fps=10)
+    df = spark.createDataFrame(
+        [("v1", bytearray(vid)), ("junk", bytearray(b"mpeg4 maybe"))],
+        ["media_id", "bytes"],
+    )
+    rows = mm.sample_video_frames(df, every_n=4).collect()
+    good = sorted((r for r in rows if r["media_id"] == "v1"),
+                  key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in good] == [0, 4, 8]
+    assert [round(r["ts_s"], 3) for r in good] == [0.0, 0.4, 0.8]
+    assert np.array_equal(decode_png(bytes(good[1]["frame_png"])), _frame(1, 4))
+    bad = [r for r in rows if r["media_id"] == "junk"]
+    assert len(bad) == 1 and not bad[0]["decode_ok"]
+    assert bad[0]["frame_no"] is None
+
+
+def test_video_near_dup_trimmed_copy(spark):
+    """The frame-phash shingle engine pairs a video with its trimmed copy
+    (9/11 shared 2-shingles → Jaccard ≈ 0.82) but not with unrelated
+    content; codec-compressed payloads are excluded with accounting."""
+    from dupers_spark.functions.videocodec import encode_avi
+    from dupers_spark.operators import video as vo
+    from dupers_spark.operators.components import connected_components
+
+    full = [_frame(5, i) for i in range(12)]
+    orig = encode_avi(full, fps=10)
+    trimmed = encode_avi(full[2:], fps=10)
+    other = _make_video(6, n_frames=12)
+    df = spark.createDataFrame(
+        [("orig", bytearray(orig)), ("trim", bytearray(trimmed)),
+         ("other", bytearray(other)), ("h264", bytearray(b"\x00\x00junk"))],
+        ["media_id", "bytes"],
+    )
+    edges, verified, dropped = vo.video_near_dup_edges(df, every_n=1)
+    v = verified.collect()
+    assert {tuple(sorted((r["a"], r["b"]))) for r in v} == {("orig", "trim")}
+    assert v[0]["sim"] >= 0.7
+    assert dropped.count() == 0
+    labels = {r["image_id"]: r["component_id"]
+              for r in connected_components(edges).collect()}
+    assert labels["orig"] == labels["trim"]
+    # undecodable payload accounted via video_features, not silently lost
+    feats = mm.video_features(df, every_n=1)
+    assert feats.filter(~F.col("decode_ok")).count() == 1
