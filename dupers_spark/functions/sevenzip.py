@@ -8,15 +8,17 @@ container format (7zFormat.txt, LZMA SDK) needed to hash members:
   reader: plain AND encoded (kEncodedHeader — modern 7-Zip's default)
           headers; folders whose coders form a LINEAR chain of Copy
           (store), LZMA2, LZMA1, Delta, or BCJ branch filters (x86 / ARM /
-          ARMT / PPC / SPARC / IA64); multiple folders; substream
-          splitting; empty files/streams. Still outside the subset — BCJ2
-          (multi-input coders / multiple pack streams per folder), external
-          streams, unknown coder ids — raises ``Unsupported7z``; the
-          archive operator surfaces that as an accounted error row, never a
-          silent skip.
-  writer: one folder per member, Copy or LZMA2, plain or encoded header
-          (for round-trip tests and for emitting interchange archives
-          without external tools).
+          ARMT / PPC / SPARC / IA64); BCJ2 multi-stream folders (the
+          4-input x86 branch converter with its own range decoder —
+          general bind-pair DAG evaluation, explicit packed-stream
+          indices); multiple folders; substream splitting; empty
+          files/streams. Still outside the subset — external streams,
+          alternative-method coders, unknown coder ids — raises
+          ``Unsupported7z``; the archive operator surfaces that as an
+          accounted error row, never a silent skip.
+  writer: one folder per member, Copy or LZMA2 or BCJ2+LZMA2, plain or
+          encoded header (for round-trip tests and for emitting
+          interchange archives without external tools).
 
 Everything here is pure CPU over in-memory bytes — it runs inside the same
 Arrow-batched mapInPandas explode as the zip/tar readers (operators/
@@ -111,6 +113,171 @@ class _Reader:
         return self.bits(n)
 
 
+# ---------------------------------------------------------------- BCJ2
+# BCJ2 (coder id 0303011B) is 7-Zip's 4-stream x86 branch converter: the
+# encoder splits input into MAIN (code bytes with branch operands removed),
+# CALL (absolute E8 targets, big-endian), JUMP (absolute E9/jcc targets) and
+# RC (a binary range-coded bitstream recording which branch bytes were
+# converted). Public algorithm: LZMA SDK Bcj2Dec.c / p7zip x86_2.cpp —
+# probability context = previous byte for E8 (0..255), 256 for E9, 257 for
+# 0F 8x jcc; 11-bit adaptive probabilities, 5-bit move, LZMA-style range
+# coder. The encoder here exists for fixtures/interchange; any
+# convert/don't-convert policy is valid because every decision is recorded
+# in RC.
+
+CODER_BCJ2 = b"\x03\x03\x01\x1b"
+_RC_TOP = 1 << 24
+_RC_MODEL_TOTAL = 1 << 11
+_RC_MOVE_BITS = 5
+
+
+class _RangeDecoder:
+    """LZMA-style binary range decoder (Bcj2Dec.c semantics)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.range_ = 0xFFFFFFFF
+        self.code = 0
+        for _ in range(5):  # first byte is the encoder's zero cache byte
+            self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFF
+
+    def _byte(self) -> int:
+        if self.pos >= len(self.data):
+            raise Bad7z("BCJ2 control stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def decode_bit(self, probs: list[int], i: int) -> int:
+        bound = (self.range_ >> 11) * probs[i]
+        if self.code < bound:
+            self.range_ = bound
+            probs[i] += (_RC_MODEL_TOTAL - probs[i]) >> _RC_MOVE_BITS
+            bit = 0
+        else:
+            self.range_ -= bound
+            self.code -= bound
+            probs[i] -= probs[i] >> _RC_MOVE_BITS
+            bit = 1
+        if self.range_ < _RC_TOP:
+            self.range_ = (self.range_ << 8) & 0xFFFFFFFF
+            self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFF
+        return bit
+
+
+class _RangeEncoder:
+    """Matching binary range encoder (carry-propagating ShiftLow)."""
+
+    def __init__(self) -> None:
+        self.low = 0
+        self.range_ = 0xFFFFFFFF
+        self.cache = 0
+        self.cache_size = 1
+        self.out = bytearray()
+
+    def encode_bit(self, probs: list[int], i: int, bit: int) -> None:
+        bound = (self.range_ >> 11) * probs[i]
+        if bit == 0:
+            self.range_ = bound
+            probs[i] += (_RC_MODEL_TOTAL - probs[i]) >> _RC_MOVE_BITS
+        else:
+            self.low += bound
+            self.range_ -= bound
+            probs[i] -= probs[i] >> _RC_MOVE_BITS
+        while self.range_ < _RC_TOP:
+            self._shift_low()
+            self.range_ = (self.range_ << 8) & 0xFFFFFFFF
+
+    def _shift_low(self) -> None:
+        if (self.low & 0xFFFFFFFF) < 0xFF000000 or self.low > 0xFFFFFFFF:
+            carry = self.low >> 32
+            self.out.append((self.cache + carry) & 0xFF)
+            while self.cache_size > 1:
+                self.out.append((0xFF + carry) & 0xFF)
+                self.cache_size -= 1
+            self.cache = (self.low >> 24) & 0xFF
+            self.cache_size = 0
+        self.cache_size += 1
+        self.low = (self.low << 8) & 0xFFFFFFFF
+
+    def flush(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+def _is_branch(prev: int, b: int) -> bool:
+    return (b & 0xFE) == 0xE8 or (prev == 0x0F and (b & 0xF0) == 0x80)
+
+
+def _bcj2_ctx(prev: int, b: int) -> int:
+    return prev if b == 0xE8 else (256 if b == 0xE9 else 257)
+
+
+def bcj2_decode(main: bytes, call: bytes, jump: bytes, rc: bytes,
+                out_size: int) -> bytes:
+    """Reassemble the original byte stream from BCJ2's four streams."""
+    out = bytearray()
+    rd = _RangeDecoder(rc)
+    probs = [_RC_MODEL_TOTAL >> 1] * (2 + 256)
+    mp = cp = jp = 0
+    prev = 0
+    while len(out) < out_size:
+        if mp >= len(main):
+            raise Bad7z("BCJ2 main stream exhausted")
+        b = main[mp]
+        mp += 1
+        out.append(b)
+        if not _is_branch(prev, b):
+            prev = b
+            continue
+        if rd.decode_bit(probs, _bcj2_ctx(prev, b)):
+            if b == 0xE8:
+                src_bytes, cp = call[cp:cp + 4], cp + 4
+            else:
+                src_bytes, jp = jump[jp:jp + 4], jp + 4
+            if len(src_bytes) != 4 or len(out) + 4 > out_size:
+                raise Bad7z("BCJ2 target stream exhausted")
+            src = int.from_bytes(src_bytes, "big")
+            dest = (src - (len(out) + 4)) & 0xFFFFFFFF
+            out += dest.to_bytes(4, "little")
+            prev = dest >> 24
+        else:
+            prev = b
+    return bytes(out)
+
+
+def bcj2_encode(data: bytes) -> tuple[bytes, bytes, bytes, bytes]:
+    """→ (main, call, jump, rc). Converts every branch whose 4 operand
+    bytes are in-bounds; the decision bits make any policy decodable."""
+    main, call, jump = bytearray(), bytearray(), bytearray()
+    re_ = _RangeEncoder()
+    probs = [_RC_MODEL_TOTAL >> 1] * (2 + 256)
+    pos = 0
+    prev = 0
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        main.append(b)
+        if not _is_branch(prev, b):
+            prev = b
+            pos += 1
+            continue
+        convert = pos + 5 <= n
+        re_.encode_bit(probs, _bcj2_ctx(prev, b), 1 if convert else 0)
+        if convert:
+            rel = int.from_bytes(data[pos + 1:pos + 5], "little")
+            src = (rel + pos + 5) & 0xFFFFFFFF
+            (call if b == 0xE8 else jump).extend(src.to_bytes(4, "big"))
+            prev = data[pos + 4]  # == top byte of the relative offset
+            pos += 5
+        else:
+            prev = b
+            pos += 1
+    return bytes(main), bytes(call), bytes(jump), re_.flush()
+
+
 # branch (BCJ) and delta filter coder ids → stdlib lzma filter ids; these
 # decode as raw filter CHAINS ([branch/delta, lzma] in compression order)
 CODER_DELTA = b"\x03"
@@ -145,11 +312,11 @@ def _filter_spec(coder_id: bytes, props: bytes) -> dict:
 def _folder_chain(folder: dict) -> list[int]:
     """Coder indices in decode order (packed stream first → final output).
 
-    Supported folders are LINEAR chains of simple (1-in/1-out) coders: the
-    bind pairs then form a path — in-stream i of coder i consumes the
-    out-stream of exactly one earlier/later coder, and exactly one
-    out-stream is unbound (the folder's output). BCJ2-style folders (a
-    coder with several inputs, several pack streams) raise before here.
+    For folders of simple (1-in/1-out) coders only — there the bind pairs
+    form a path: in-stream i of coder i consumes the out-stream of exactly
+    one earlier/later coder, and exactly one out-stream is unbound (the
+    folder's output). Multi-input folders (BCJ2) take the DAG path in
+    _decode_folder_dag instead.
     """
     binds = folder["binds"]
     n = len(folder["coders"])
@@ -172,10 +339,16 @@ def _folder_chain(folder: dict) -> list[int]:
     return list(reversed(order))
 
 
-def _decode_folder(folder: dict, packed: bytes) -> bytes:
-    """Decode one folder's packed stream through its full coder chain."""
+def _decode_folder(folder: dict, packs: list[bytes]) -> bytes:
+    """Decode one folder's packed stream(s) through its coder graph."""
+    coders_all = folder["coders"]
+    if any(c["n_in"] != 1 or c["n_out"] != 1 for c in coders_all):
+        return _decode_folder_dag(folder, packs)
+    if len(packs) != 1:
+        raise Bad7z("linear 7z folder with multiple pack streams")
+    packed = packs[0]
     order = _folder_chain(folder)
-    coders = [folder["coders"][i] for i in order]
+    coders = [coders_all[i] for i in order]
     unpack_size = folder["out_sizes"][order[-1]]
     if coders[0]["id"] == CODER_COPY:
         if len(coders) != 1:
@@ -188,9 +361,70 @@ def _decode_folder(folder: dict, packed: bytes) -> bytes:
     return dec.decompress(packed, max_length=unpack_size)
 
 
-def _folder_unpack_size(folder: dict) -> int:
-    """The folder's final-output size (the out stream no bind pair consumes)."""
-    return folder["out_sizes"][_folder_chain(folder)[-1]]
+def _decode_folder_dag(folder: dict, packs: list[bytes]) -> bytes:
+    """General folder evaluation for multi-input coders (BCJ2): each
+    coder's inputs come from a packed stream or another coder's output per
+    the bind pairs; outputs are memoized, the unbound out-stream is the
+    folder result. Per-coder decode here (no lzma chain fusion): Copy /
+    LZMA1 / LZMA2 / Delta / BCJ2."""
+    coders = folder["coders"]
+    in_off, out_off, ti, to = [], [], 0, 0
+    for c in coders:
+        in_off.append(ti)
+        out_off.append(to)
+        ti += c["n_in"]
+        to += c["n_out"]
+    out_to_coder = {}
+    for ci, c in enumerate(coders):
+        if c["n_out"] != 1:
+            raise Unsupported7z("7z coder with multiple outputs unsupported")
+        out_to_coder[out_off[ci]] = ci
+    bind_by_in = dict(folder["binds"])
+    packed_pos = {gin: k for k, gin in enumerate(folder["packed"])}
+    memo: dict[int, bytes] = {}
+
+    def produce(ci: int) -> bytes:
+        if ci in memo:
+            return memo[ci]
+        c = coders[ci]
+        ins: list[bytes] = []
+        for local in range(c["n_in"]):
+            gin = in_off[ci] + local
+            if gin in bind_by_in:
+                ins.append(produce(out_to_coder[bind_by_in[gin]]))
+            elif gin in packed_pos:
+                ins.append(packs[packed_pos[gin]])
+            else:
+                raise Bad7z("7z folder in-stream neither bound nor packed")
+        out_size = folder["out_sizes"][out_off[ci]]
+        cid = c["id"]
+        if cid == CODER_BCJ2:
+            if len(ins) != 4:
+                raise Bad7z("BCJ2 coder requires 4 input streams")
+            res = bcj2_decode(ins[0], ins[1], ins[2], ins[3], out_size)
+        elif cid == CODER_COPY:
+            res = ins[0][:out_size]
+        elif cid in (CODER_LZMA1, CODER_LZMA2):
+            dec = lzma.LZMADecompressor(
+                format=lzma.FORMAT_RAW,
+                filters=[_filter_spec(cid, c["props"])])
+            res = dec.decompress(ins[0], max_length=out_size)
+        elif cid == CODER_DELTA:
+            dist = (c["props"][0] + 1) if c["props"] else 1
+            buf = bytearray(ins[0][:out_size])
+            for k in range(dist, len(buf)):
+                buf[k] = (buf[k] + buf[k - dist]) & 0xFF
+            res = bytes(buf)
+        else:
+            raise Unsupported7z(
+                f"7z coder {cid.hex()} unsupported inside a "
+                "multi-stream folder")
+        if len(res) != out_size:
+            raise Bad7z("7z coder decoded to wrong size")
+        memo[ci] = res
+        return res
+
+    return produce(out_to_coder[folder["final_out"]])
 
 
 def _read_streams_info(r: _Reader) -> dict:
@@ -232,22 +466,43 @@ def _read_streams_info(r: _Reader) -> dict:
             coders = []
             for _ in range(n_coders):
                 flags = r.byte()
+                if flags & 0xC0:
+                    raise Unsupported7z(
+                        "7z alternative-method coders unsupported")
                 cid = r.bytes_(flags & 0x0F)
+                n_in = n_out = 1
                 if flags & 0x10:  # complex coder: >1 in/out streams (BCJ2)
-                    raise Unsupported7z("complex 7z coders unsupported")
+                    n_in = r.number()
+                    n_out = r.number()
                 props = r.bytes_(r.number()) if flags & 0x20 else b""
-                coders.append({"id": cid, "props": props})
-            # simple coders: total out = n_coders → n_coders-1 bind pairs
-            binds = [(r.number(), r.number()) for _ in range(n_coders - 1)]
-            if n_coders - len(binds) > 1:  # num pack streams per folder
-                raise Unsupported7z("multi-pack-stream 7z folders unsupported")
-            folders.append({"coders": coders, "binds": binds})
+                coders.append({"id": cid, "props": props,
+                               "n_in": n_in, "n_out": n_out})
+            total_in = sum(c["n_in"] for c in coders)
+            total_out = sum(c["n_out"] for c in coders)
+            binds = [(r.number(), r.number()) for _ in range(total_out - 1)]
+            n_packed = total_in - len(binds)
+            if n_packed < 1:
+                raise Bad7z("7z folder without a packed stream")
+            if n_packed == 1:
+                bound_ins = {i for i, _o in binds}
+                packed = [i for i in range(total_in) if i not in bound_ins]
+                if len(packed) != 1:
+                    raise Bad7z("7z folder bind pairs over-consume inputs")
+            else:  # pack-stream order is explicit (BCJ2 folders)
+                packed = [r.number() for _ in range(n_packed)]
+            consumed = {o for _i, o in binds}
+            finals = [o for o in range(total_out) if o not in consumed]
+            if len(finals) != 1:
+                raise Bad7z("7z folder is not single-output")
+            folders.append({"coders": coders, "binds": binds,
+                            "packed": packed, "final_out": finals[0]})
         if r.number() != K_CODERS_UNPACK_SIZE:
             raise Bad7z("missing kCodersUnpackSize")
         for f in folders:
-            # one size per out stream == one per (simple) coder
-            f["out_sizes"] = [r.number() for _ in f["coders"]]
-            f["unpack_size"] = _folder_unpack_size(f)
+            # one size per OUT STREAM (not per coder — BCJ2 folders differ)
+            f["out_sizes"] = [r.number() for _ in range(
+                sum(c["n_out"] for c in f["coders"]))]
+            f["unpack_size"] = f["out_sizes"][f["final_out"]]
         while True:
             t = r.number()
             if t == K_END:
@@ -307,19 +562,28 @@ def _read_streams_info(r: _Reader) -> dict:
 
 
 def _decode_payloads(data: bytes, si: dict) -> list[bytes]:
-    """Decode every folder's packed stream → unpacked payload per folder."""
-    if len(si["pack_sizes"]) != len(si["folders"]):
-        # 1 pack stream per supported folder (multi-pack folders raised
-        # already) — a mismatch means bound streams we don't model
-        raise Unsupported7z("pack-stream/folder mismatch (bound streams?)")
-    payloads: list[bytes] = []
+    """Decode every folder's packed stream(s) → unpacked payload per folder.
+
+    Pack streams are assigned to folders in order: each folder consumes
+    len(folder["packed"]) consecutive streams (one for linear chains, four
+    for a typical BCJ2 folder)."""
+    expected = sum(len(f["packed"]) for f in si["folders"])
+    if len(si["pack_sizes"]) != expected:
+        raise Bad7z("7z pack-stream/folder count mismatch")
+    blobs: list[bytes] = []
     off = 32 + si["pack_pos"]
-    for f, psize in zip(si["folders"], si["pack_sizes"]):
-        packed = data[off: off + psize]
-        if len(packed) != psize:
+    for psize in si["pack_sizes"]:
+        blob = data[off: off + psize]
+        if len(blob) != psize:
             raise Bad7z("truncated 7z pack stream")
+        blobs.append(blob)
         off += psize
-        out = _decode_folder(f, packed)
+    payloads: list[bytes] = []
+    k = 0
+    for f in si["folders"]:
+        cnt = len(f["packed"])
+        out = _decode_folder(f, blobs[k:k + cnt])
+        k += cnt
         if len(out) != f["unpack_size"]:
             raise Bad7z("7z folder decoded to wrong size")
         payloads.append(out)
@@ -463,29 +727,53 @@ class _Writer:
 
 
 def write_7z(members: list[tuple[str, bytes]], compress: bool = False,
-             encoded_header: bool = False) -> bytes:
-    """Store-only (or LZMA2) 7z archive: one folder per non-empty member.
+             encoded_header: bool = False, bcj2: bool = False) -> bytes:
+    """Store-only (or LZMA2, or BCJ2+LZMA2) 7z: one folder per non-empty
+    member.
 
     Subset writer for round-trip tests and tool-free interchange; readable
-    by any conforming 7z implementation (single Copy/LZMA2 coder per
-    folder, explicit names, no CRCs). encoded_header=True LZMA2-compresses
-    the header and points the start header at a kEncodedHeader stream
-    description instead — the layout modern 7-Zip emits by default.
+    by any conforming 7z implementation (explicit names, no CRCs).
+    encoded_header=True LZMA2-compresses the header and points the start
+    header at a kEncodedHeader stream description instead — the layout
+    modern 7-Zip emits by default. bcj2=True emits the executable shape:
+    each member runs through the BCJ2 branch converter, the main stream is
+    LZMA2-compressed, call/jump/rc are stored — a 2-coder folder (BCJ2 +
+    LZMA2) with one bind pair and four pack streams, the same folder graph
+    7-Zip builds for x86 payloads.
     """
     packs: list[bytes] = []
-    folders: list[tuple[bytes, bytes, int]] = []  # (coder_id, props, usize)
+    folders: list[dict] = []
     non_empty = [(n, b) for n, b in members if b]
+    lz_spec = {"id": lzma.FILTER_LZMA2, "preset": 6}
+
+    def lz(blob: bytes) -> tuple[bytes, bytes]:
+        comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[lz_spec])
+        return (comp.compress(blob) + comp.flush(),
+                lzma._encode_filter_properties(lz_spec))
+
     for _name, blob in non_empty:
-        if compress:
-            spec = {"id": lzma.FILTER_LZMA2, "preset": 6}
-            props = lzma._encode_filter_properties(spec)
-            comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[spec])
-            packed = comp.compress(blob) + comp.flush()
-            folders.append((CODER_LZMA2, props, len(blob)))
+        if bcj2:
+            main, call, jump, rc = bcj2_encode(blob)
+            mpacked, props = lz(main)
+            folders.append({
+                # coder 0: BCJ2 (ins 0-3 = main/call/jump/rc, out 0)
+                # coder 1: LZMA2 (in 4 = pack stream, out 1 → BCJ2 main)
+                "coders": [(CODER_BCJ2, b"", 4, 1), (CODER_LZMA2, props, 1, 1)],
+                "binds": [(0, 1)],
+                "packed": [4, 1, 2, 3],
+                "out_sizes": [len(blob), len(main)],
+                "packs": [mpacked, call, jump, rc],
+            })
+        elif compress:
+            packed, props = lz(blob)
+            folders.append({"coders": [(CODER_LZMA2, props, 1, 1)],
+                            "binds": [], "packed": [0],
+                            "out_sizes": [len(blob)], "packs": [packed]})
         else:
-            packed = blob
-            folders.append((CODER_COPY, b"", len(blob)))
-        packs.append(packed)
+            folders.append({"coders": [(CODER_COPY, b"", 1, 1)],
+                            "binds": [], "packed": [0],
+                            "out_sizes": [len(blob)], "packs": [blob]})
+        packs.extend(folders[-1]["packs"])
 
     w = _Writer()
     w.number(K_HEADER)
@@ -502,17 +790,30 @@ def write_7z(members: list[tuple[str, bytes]], compress: bool = False,
         w.number(K_FOLDER)
         w.number(len(folders))
         w.byte(0)                        # not external
-        for cid, props, _us in folders:
-            w.number(1)                  # one coder per folder
-            flags = len(cid) | (0x20 if props else 0)
-            w.byte(flags)
-            w.bytes_(cid)
-            if props:
-                w.number(len(props))
-                w.bytes_(props)
+        for f in folders:
+            w.number(len(f["coders"]))
+            for cid, props, n_in, n_out in f["coders"]:
+                complex_ = n_in != 1 or n_out != 1
+                flags = len(cid) | (0x10 if complex_ else 0) \
+                    | (0x20 if props else 0)
+                w.byte(flags)
+                w.bytes_(cid)
+                if complex_:
+                    w.number(n_in)
+                    w.number(n_out)
+                if props:
+                    w.number(len(props))
+                    w.bytes_(props)
+            for i, o in f["binds"]:
+                w.number(i)
+                w.number(o)
+            if len(f["packed"]) > 1:
+                for idx in f["packed"]:
+                    w.number(idx)
         w.number(K_CODERS_UNPACK_SIZE)
-        for _cid, _props, us in folders:
-            w.number(us)
+        for f in folders:
+            for us in f["out_sizes"]:
+                w.number(us)
         w.number(K_END)
         w.number(K_END)
     # FilesInfo: all members (empty ones flagged via kEmptyStream+kEmptyFile)

@@ -138,11 +138,64 @@ def test_7z_encoded_header_members_scanned(spark):
         assert got[name] == hashlib.sha256(blob).hexdigest()
 
 
+def test_7z_bcj2_members_scanned(spark):
+    """BCJ2 multi-stream folders (7-Zip's x86 shape: BCJ2 + LZMA2, one
+    bind pair, four pack streams) decode through the general folder-DAG
+    path and scan like any other archive."""
+    import random
+
+    from dupers_spark.functions.sevenzip import write_7z
+
+    rng = random.Random(11)
+    blob = bytearray(rng.randbytes(8000))
+    for _ in range(500):  # salt with branch opcodes so all 4 streams fill
+        i = rng.randrange(len(blob))
+        blob[i] = rng.choice([0xE8, 0xE9, 0x0F, 0x84])
+    members = [("app.exe", bytes(blob)), ("note.txt", b"readme")]
+    df = spark.createDataFrame(
+        [("bcj2.7z", bytearray(write_7z(members, bcj2=True))),
+         ("bcj2_eh.7z",
+          bytearray(write_7z(members, bcj2=True, encoded_header=True)))],
+        ["image_id", "bytes"],
+    )
+    rows = archive.archive_scan(df).collect()
+    assert all(r["ok"] for r in rows) and len(rows) == 4
+    got = {(r["archive_id"], r["member_path"]): r["sha256"] for r in rows}
+    for aid in ("bcj2.7z", "bcj2_eh.7z"):
+        for name, data in members:
+            assert got[(aid, name)] == hashlib.sha256(data).hexdigest()
+
+
+def test_bcj2_transform_roundtrip():
+    """The BCJ2 range-coded branch converter inverts exactly on x86-ish
+    payloads, including all-branch floods and a trailing branch byte with
+    no operand room (recorded as unconverted in the rc stream)."""
+    import random
+
+    from dupers_spark.functions.sevenzip import bcj2_decode, bcj2_encode
+
+    rng = random.Random(42)
+    cases = []
+    for _ in range(20):
+        n = rng.randrange(0, 2000)
+        d = bytearray(rng.randbytes(n))
+        for _ in range(n // 12):
+            i = rng.randrange(max(1, n))
+            if i < n:
+                d[i] = rng.choice([0xE8, 0xE9, 0x0F, 0x80, 0x8F])
+        cases.append(bytes(d))
+    cases += [b"\xe8" * 777, b"tail\xe9", b"", b"\x0f\x85ABCD"]
+    for data in cases:
+        m, c, j, rc = bcj2_encode(data)
+        assert bcj2_decode(m, c, j, rc, len(data)) == data
+
+
 def test_7z_exotic_variant_is_accounted(spark):
-    """A 7z using a coder outside the supported subset (here an unknown
-    coder id, the BCJ2 shape) → ONE ok=false row with the reason, never a
-    silent skip. A truncated encoded header is likewise an accounted
-    malformed-archive row."""
+    """A 7z using a coder outside the supported subset (here the BCJ2
+    coder id declared WITHOUT its 4 input streams — a malformed/simple
+    declaration) → ONE ok=false row with the reason, never a silent skip.
+    A truncated encoded header is likewise an accounted malformed-archive
+    row."""
     import struct
     import zlib
 
