@@ -212,6 +212,35 @@ def main() -> None:
     inc_probe("incremental_probe_lsh", inc_batch, "")
     inc_probe("incremental_probe_lsh_10pct", inc_batch2, "_10pct")
 
+    # video near-dup: AVI decode (stdlib RIFF) + frame-phash sequences
+    # through the caption LSH engine + CC. Corpus pre-written outside the
+    # clock like the image table; cluster count is closed-form checkable
+    # (truth_video_clusters) so the bench is also a correctness gate.
+    n_vid = int(os.environ.get("SPARK_GRAFT_BENCH_VIDEOS", "4000"))
+    vid_path = f"/tmp/dupers_bench_videos_{n_vid}.parquet"
+    if not os.path.exists(vid_path):
+        t0 = time.time()
+        datagen.make_videos(spark, n_vid).write.mode("overwrite") \
+            .parquet(vid_path)
+        extras["videogen_sec"] = round(time.time() - t0, 1)
+    videos = spark.read.parquet(vid_path)
+
+    def video_dedup():
+        from dupers_spark.operators import video as vo
+
+        edges, _verified, _dropped = vo.video_near_dup_edges(videos, every_n=1)
+        comp = connected_components(edges)
+        n_nodes = comp.count()
+        n_comp = comp.select("component_id").distinct().count()
+        # nodes without edges are singleton clusters
+        extras["video_clusters"] = n_comp + (n_vid - n_nodes)
+        extras["video_clusters_expected"] = datagen.truth_video_clusters(n_vid)
+
+    c0, t0 = _cpu_snap(), time.time()
+    video_dedup()
+    dt = record("video_dedup", t0, c0)
+    extras["videos_per_sec"] = round(n_vid / dt, 1)
+
     timed("exact_dedup_docs", lambda: dedup_text.exact_dup_groups(
         docs.withColumn(
             "text", F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2))

@@ -325,3 +325,70 @@ def sevenz_documents(docs: DataFrame, compress: bool = True,
         build, schema="archive_id string, bytes binary"
     )
 
+
+
+# ---------------------------------------------------------------- videos
+
+VIDEOS_SCHEMA = ("media_id string, bytes binary, n_frames int, fmt string")
+
+
+def _video_frame(g: int, j: int, w: int = 48, h: int = 32) -> np.ndarray:
+    """Deterministic coarse-block frame for video group g, frame j —
+    block structure keeps the 8×8 average-phash distinct per (g, j)."""
+    rng = np.random.default_rng(SEED * 13_000_021 + g * 1009 + j)
+    block = rng.integers(0, 256, (h // 8, w // 8, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(block, 8, axis=0), 8, axis=1)
+
+
+def _video_row(i: int, n_frames: int) -> dict:
+    """g = i // 10, r = i % 10 (FIXTURES.md §A convention):
+
+      r=0  base video V_g
+      r=1  EXACT byte copy of r=0       (collapses structurally in LSH)
+      r=2  trimmed copy (first 2 frames dropped) — frame-shingle near-dup
+           (shares (n_frames-3)/(n_frames-1) 2-shingles ⇒ J ≈ 0.8 ≥ τ)
+      r=3..9 fresh singleton videos
+
+    Ground-truth clusters per full group: {r0, r1, r2} + 7 singletons.
+    """
+    from dupers_spark.functions.videocodec import encode_avi
+
+    g, r = divmod(i, 10)
+    if r in (0, 1):
+        frames = [_video_frame(g, j) for j in range(n_frames)]
+    elif r == 2:
+        frames = [_video_frame(g, j) for j in range(2, n_frames)]
+    else:
+        frames = [_video_frame(1_000_000_007 + i, j) for j in range(n_frames)]
+    return {
+        "media_id": f"vid_{i:08d}",
+        "bytes": encode_avi(frames, fps=10),
+        "n_frames": len(frames),
+        "fmt": "avi",
+    }
+
+
+def make_videos(spark: SparkSession, n: int, n_frames: int = 12,
+                partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic `videos` table with planted duplicate
+    structure — the video analogue of make_images: content depends only on
+    the row index, so every parallelism level generates byte-identical
+    tables (scaling bench doubles as a correctness check)."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([_video_row(int(i), n_frames)
+                                for i in pdf["id"]])
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, schema=VIDEOS_SCHEMA)
+
+
+def truth_video_clusters(n: int) -> int:
+    """Expected cluster count for make_videos(n), n % 10 == 0: one
+    {r0, r1, r2} cluster + 7 singletons per group."""
+    if n % 10:
+        raise ValueError("closed-form truth needs n divisible by 10")
+    return (n // 10) * 8
