@@ -607,6 +607,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_srp_incremental"] = embedding_srp_incremental
 
+    # --- multimodal decode engines (planted-truth oracles) ---------------
+    def video_near_dup_components(spark, sf):
+        # The video engine END-TO-END on a deterministic planted corpus:
+        # AVI encode (datagen.make_videos) → stdlib RIFF decode → frame
+        # phash token sequences → caption MinHash/LSH engine → connected
+        # components. DuckDB cannot decode AVI, but the clustering truth is
+        # closed-form BY CONSTRUCTION (per 10-row group: r0 base, r1 exact
+        # byte copy, r2 trimmed copy sharing 9/11 frame 2-shingles ⇒
+        # J≈0.82 ≥ τ, r3..r9 fresh singletons), so the oracle reproduces
+        # the FULL (media_id, component_id=min member) assignment without
+        # touching pixels. A split cluster (recall slip), merged groups
+        # (precision slip) or cross-group phash collision all break the
+        # value hash.
+        from dupers_spark.operators import video as vo
+        from dupers_spark.operators.components import with_singletons
+
+        videos = datagen.make_videos(spark, 120).localCheckpoint()
+        edges, _verified, _dropped = vo.video_near_dup_edges(
+            videos, every_n=1)
+        assign = with_singletons(
+            connected_components(edges), videos.select("media_id"),
+            id_col="media_id")
+        return assign.select(F.col("image_id").alias("media_id"),
+                             "component_id")
+
+    q["video_near_dup_components"] = video_near_dup_components
+
+    def audio_wav_features(spark, sf):
+        # WAV-PCM decode path value-checked: deterministic square-wave
+        # clips (alternating ±A samples, 4096 samples @ 8 kHz mono 16-bit)
+        # make every reported feature closed-form — duration = 4096/8000,
+        # rms = sqrt(fl((A/32767)²)) (the 4096-sample pairwise mean of
+        # identical values is exact: power-of-two count), clipping = 1.0
+        # iff A/32767 ≥ 0.999. The oracle computes the IDENTICAL float
+        # expressions, so the driver's %.9g value hash matches
+        # bit-for-bit. Final row is a malformed payload pinning the
+        # decode_ok=False accounting path.
+        from dupers_spark.operators import multimodal as mm
+
+        n = 64
+
+        def gen(batches):
+            import io
+            import wave
+
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                ids, blobs = [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    ids.append(f"aud_{i:04d}")
+                    if i == n - 1:
+                        blobs.append(b"not a riff payload")
+                        continue
+                    amp = 32767 if i % 8 == 0 else 300 + 497 * i
+                    x = np.empty(4096, dtype="<i2")
+                    x[0::2], x[1::2] = amp, -amp
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(x.tobytes())
+                    blobs.append(buf.getvalue())
+                yield pd.DataFrame({"media_id": ids, "bytes": blobs})
+
+        media = spark.range(0, n, 1, 4).mapInPandas(
+            gen, "media_id string, bytes binary")
+        feats = mm.audio_features(media)
+        return feats.select(
+            "media_id", "duration_s", "sample_rate", "n_channels",
+            F.round("rms", 6).alias("rms"), "clipping_rate", "decode_ok")
+
+    q["audio_wav_features"] = audio_wav_features
+
     def events_windowed(spark, sf):
         from dupers_spark.streaming.ingest import windowed_event_counts
 
@@ -1080,6 +1157,42 @@ def oracle_sql() -> dict[str, str]:
     # the incremental probe (originals indexed, copies appended) must land
     # on the identical pair set — same oracle by construction
     o["embedding_srp_incremental"] = o["embedding_srp_near_dups"]
+
+    # planted-truth closed form (datagen.make_videos): per 10-row group,
+    # rows r∈{0,1,2} cluster with min-member root r0, the rest are
+    # singletons — DuckDB reproduces the full assignment with no decoding
+    o["video_near_dup_components"] = """
+        SELECT printf('vid_%08d', i) AS media_id,
+               printf('vid_%08d',
+                      CASE WHEN i % 10 <= 2 THEN (i // 10) * 10 ELSE i END)
+                   AS component_id
+        FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 120))
+    """
+
+    # square-wave WAV closed form: the oracle evaluates the SAME IEEE-754
+    # expressions the decoder does (see the queries() docstring), so the
+    # %.9g float hash matches exactly; the last row is the malformed-
+    # payload decode_ok=False branch
+    o["audio_wav_features"] = """
+        WITH s AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, 63)),
+        a AS (SELECT i,
+                     CASE WHEN i % 8 = 0 THEN 32767
+                          ELSE 300 + 497 * i END AS amp
+              FROM s)
+        SELECT printf('aud_%04d', i) AS media_id,
+               4096.0 / 8000.0 AS duration_s,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS n_channels,
+               round(sqrt((amp / 32767.0) * (amp / 32767.0)), 6) AS rms,
+               CASE WHEN amp / 32767.0 >= 0.999
+                    THEN 1.0 ELSE 0.0 END AS clipping_rate,
+               TRUE AS decode_ok
+        FROM a
+        UNION ALL
+        SELECT 'aud_0063', CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), FALSE
+    """
 
     o["events_windowed"] = """
         SELECT date_trunc('hour', ts) AS win_start, event_type,
