@@ -261,3 +261,95 @@ def stream_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_first_seen(
+    sigs: DataFrame,
+    id_col: str = "image_id",
+    digest_col: str = "sha256",
+) -> DataFrame:
+    """Stateful streaming exact-dedup via ``applyInPandasWithState``: the
+    per-digest keyed state IS dupers' Compare map (checksum → exemplar,
+    dupe.go:941-966), held in Spark's state store instead of being
+    re-read from an index table every micro-batch (which is what the
+    foreachBatch operators above do). Every input row is emitted
+    annotated: a digest's first-ever occurrence carries is_first=true and
+    becomes the state's exemplar; each later row points at that exemplar
+    (``dup_of``) with its running duplicate ordinal.
+
+    Scale shape: state is keyed by digest and sharded across executors by
+    the state store (RocksDB provider on a real cluster), checkpointed
+    with the query — state size is the distinct-digest count, the same
+    cardinality dupers keeps in one process heap, but partitioned and
+    crash-recoverable. No timeout: a digest's exemplar must outlive any
+    idle gap, exactly like the on-disk bucket.
+
+    Determinism under replay: within a micro-batch arrival order is
+    nondeterministic, so a digest first seen in that batch takes the MIN
+    id as exemplar — an at-least-once batch replay re-derives the
+    identical exemplar (ordinals of replayed rows shift, the exemplar
+    never does; exactly-once delivery needs a transactional sink, as with
+    any streaming append).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup(key, pdfs, state):
+        import pandas as pd
+
+        ids: list = []
+        for pdf in pdfs:
+            ids.extend(pdf[id_col].tolist())
+        if not ids:
+            return
+        ids.sort()
+        if state.exists:
+            exemplar, n_seen = state.get
+        else:
+            exemplar, n_seen = ids[0], 0
+        state.update((exemplar, n_seen + len(ids)))
+        yield pd.DataFrame({
+            digest_col: [key[0]] * len(ids),
+            id_col: ids,
+            "is_first": [n_seen == 0 and i == exemplar for i in ids],
+            "dup_of": [exemplar] * len(ids),
+            "seen_ordinal": list(range(n_seen, n_seen + len(ids))),
+        })
+
+    return sigs.groupBy(digest_col).applyInPandasWithState(
+        dedup,
+        outputStructType=(
+            f"{digest_col} string, {id_col} string, is_first boolean, "
+            "dup_of string, seen_ordinal long"),
+        stateStructType="exemplar string, n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """File-source image stream → sha256 → stateful first-seen dedup →
+    parquet append. The stateful twin of stream_signatures: the skip-known
+    probe costs zero index reads per batch because the digest map lives in
+    the (checkpointed) state store."""
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    sigs = stream.select(
+        "image_id", F.sha2(F.col("bytes"), 256).alias("sha256"))
+    out = stream_first_seen(sigs)
+    return (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

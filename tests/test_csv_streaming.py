@@ -276,3 +276,54 @@ def test_stream_near_dup_backfills_bucket_stage(spark, tmp_path):
         connected_components(full_edges), ids).collect()}
     assert got == want
     images.unpersist()
+
+
+def test_stateful_stream_first_seen_dedup(spark):
+    """applyInPandasWithState first-seen dedup: duplicates suppressed
+    within a micro-batch AND across query restarts (the digest→exemplar
+    map is rebuilt from the state-store checkpoint, not from any index
+    table)."""
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in")
+        out = os.path.join(td, "out")
+        ckpt = os.path.join(td, "ckpt")
+        images = datagen.make_images(spark, 20).cache()
+        images.write.parquet(inp, mode="overwrite")
+
+        q = ingest.stream_exact_dedup(spark, inp, out, ckpt,
+                                      max_files_per_trigger=100)
+        q.awaitTermination(120)
+        first = {r["image_id"]: r for r in spark.read.parquet(out).collect()}
+        assert len(first) == 20
+        # planted exact pairs: {img0, img1} and {img10, img11} (r0/r1 byte
+        # copies per group); everything else first-seen
+        assert sum(r["is_first"] for r in first.values()) == 18
+        assert not first["img_00000001"]["is_first"]
+        assert first["img_00000001"]["dup_of"] == "img_00000000"
+        assert first["img_00000001"]["seen_ordinal"] == 1
+        assert first["img_00000011"]["dup_of"] == "img_00000010"
+
+        # restart: 5 old payloads re-delivered under NEW ids — every one
+        # must resolve to its original exemplar purely from restored state
+        redeliver = (
+            images.filter(F.col("image_id") < "img_00000005")
+            .withColumn("image_id", F.concat(F.lit("re_"), F.col("image_id")))
+        )
+        redeliver.write.mode("append").parquet(inp)
+        q2 = ingest.stream_exact_dedup(spark, inp, out, ckpt,
+                                       max_files_per_trigger=100)
+        q2.awaitTermination(120)
+        rows = {r["image_id"]: r for r in spark.read.parquet(out).collect()}
+        assert len(rows) == 25
+        re_rows = {k: v for k, v in rows.items() if k.startswith("re_")}
+        assert len(re_rows) == 5 and not any(
+            r["is_first"] for r in re_rows.values())
+        # img1's bytes equal img0's, so both re_img0 and re_img1 join the
+        # img_00000000 group with the NEXT ordinals after run 1's dup
+        assert re_rows["re_img_00000000"]["dup_of"] == "img_00000000"
+        assert re_rows["re_img_00000001"]["dup_of"] == "img_00000000"
+        assert {re_rows["re_img_00000000"]["seen_ordinal"],
+                re_rows["re_img_00000001"]["seen_ordinal"]} == {2, 3}
+        for k in ("2", "3", "4"):
+            assert re_rows[f"re_img_0000000{k}"]["dup_of"] == \
+                f"img_0000000{k}"
