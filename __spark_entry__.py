@@ -684,6 +684,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_wav_features"] = audio_wav_features
 
+    def audio_near_dup_components(spark, sf):
+        # The audio engine END-TO-END on a deterministic planted corpus:
+        # WAV-PCM decode → windowed peak-band fingerprint tokens (exactly
+        # gain-invariant rank statistic) → caption MinHash/LSH engine →
+        # connected components. Clustering truth is closed-form BY
+        # CONSTRUCTION (per 10-row group: r0 base, r1 exact HALF-GAIN copy
+        # — byte-different, token-identical, collapses structurally —
+        # r2 window-aligned trim sharing 13/15 token 2-shingles ⇒ J≈0.87
+        # ≥ τ, r3..r9 fresh singletons), so the oracle reproduces the full
+        # (media_id, component_id=min member) assignment with no decoding.
+        from dupers_spark.operators import audio as ao
+        from dupers_spark.operators.components import with_singletons
+
+        clips = datagen.make_audio(spark, 120).localCheckpoint()
+        edges, _verified, _dropped = ao.audio_near_dup_edges(clips)
+        assign = with_singletons(
+            connected_components(edges), clips.select("media_id"),
+            id_col="media_id")
+        return assign.select(F.col("image_id").alias("media_id"),
+                             "component_id")
+
+    q["audio_near_dup_components"] = audio_near_dup_components
+
     def events_windowed(spark, sf):
         from dupers_spark.streaming.ingest import windowed_event_counts
 
@@ -1192,6 +1215,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'aud_0063', CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
                CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE), FALSE
+    """
+
+    # same closed form as the video oracle (datagen.make_audio plants the
+    # same group structure): {r0, r1, r2} cluster rooted at r0 + 7
+    # singletons per 10-row group
+    o["audio_near_dup_components"] = """
+        SELECT printf('aud_%08d', i) AS media_id,
+               printf('aud_%08d',
+                      CASE WHEN i % 10 <= 2 THEN (i // 10) * 10 ELSE i END)
+                   AS component_id
+        FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 120))
     """
 
     o["events_windowed"] = """

@@ -210,12 +210,12 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 ])
 
 
-def _wav_features(data: bytes) -> tuple:
-    """Decode one WAV-PCM payload → (duration, rate, channels, rms,
-    clipping_rate, spectral_centroid). Pure stdlib ``wave`` + numpy — the
-    one audio container that needs no codec library. 8/16/32-bit integer
-    PCM; compressed WAV (or any other container) raises and the caller
-    records decode_ok=False."""
+def _wav_pcm(data: bytes) -> tuple:
+    """Decode one WAV-PCM payload → (mono float64 samples, rate, n_channels,
+    full_scale, n_frames). Pure stdlib ``wave`` + numpy — the one audio
+    container that needs no codec library. 8/16/32-bit integer PCM;
+    compressed WAV (or any other container) raises and callers record
+    decode_ok=False."""
     import io
     import wave
 
@@ -236,6 +236,13 @@ def _wav_features(data: bytes) -> tuple:
         raise ValueError(f"unsupported PCM sample width {width}")
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)  # mono mix for the features
+    return x, rate, nch, full, n_frames
+
+
+def _wav_features(data: bytes) -> tuple:
+    """One WAV-PCM payload → (duration, rate, channels, rms, clipping_rate,
+    spectral_centroid)."""
+    x, rate, nch, full, n_frames = _wav_pcm(data)
     dur = n_frames / rate if rate else 0.0
     if not len(x):
         return dur, rate, nch, 0.0, 0.0, 0.0

@@ -392,3 +392,93 @@ def truth_video_clusters(n: int) -> int:
     if n % 10:
         raise ValueError("closed-form truth needs n divisible by 10")
     return (n // 10) * 8
+
+
+# ---------------------------------------------------------------- audio
+
+AUDIO_SCHEMA = "media_id string, bytes binary, n_samples int, fmt string"
+_AUDIO_WIN = 1024
+_AUDIO_RATE = 8000
+
+
+def _audio_window(g: int, j: int) -> np.ndarray:
+    """Deterministic two-tone window for audio group g, window j —
+    EVEN int16 samples so an exact half-gain copy exists (s // 2 is
+    lossless), making gain-invariance of the fingerprint provable rather
+    than approximate."""
+    rng = np.random.default_rng(SEED * 17_000_023 + g * 1013 + j)
+    f1, f2 = rng.uniform(200.0, 3600.0, 2)
+    t = np.arange(_AUDIO_WIN) / _AUDIO_RATE
+    v = 9000.0 * np.sin(2 * np.pi * f1 * t) + 5000.0 * np.sin(2 * np.pi * f2 * t)
+    return (2 * np.round(v / 2.0)).astype("<i2")
+
+
+def _audio_wav(samples: np.ndarray) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(_AUDIO_RATE)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _audio_row(i: int, n_windows: int) -> dict:
+    """g = i // 10, r = i % 10 (FIXTURES.md §A convention):
+
+      r=0  base clip A_g (per-window two-tone bursts, non-stationary)
+      r=1  EXACT HALF-GAIN copy of r=0 — byte-different, but the
+           band-energy-comparison fingerprint is gain-invariant, so its
+           token string is identical and it collapses structurally
+      r=2  trimmed copy (first 2 windows dropped, window-aligned) —
+           shares 13/15 token 2-shingles ⇒ J ≈ 0.87 ≥ τ
+      r=3..9 fresh singleton clips
+
+    Ground-truth clusters per full group: {r0, r1, r2} + 7 singletons.
+    """
+    g, r = divmod(i, 10)
+    if r in (0, 1):
+        s = np.concatenate([_audio_window(g, j) for j in range(n_windows)])
+        if r == 1:
+            s = (s // 2).astype("<i2")  # exact: base samples are even
+    elif r == 2:
+        s = np.concatenate([_audio_window(g, j)
+                            for j in range(2, n_windows)])
+    else:
+        s = np.concatenate([_audio_window(1_000_000_009 + i, j)
+                            for j in range(n_windows)])
+    return {
+        "media_id": f"aud_{i:08d}",
+        "bytes": _audio_wav(s),
+        "n_samples": int(len(s)),
+        "fmt": "wav",
+    }
+
+
+def make_audio(spark: SparkSession, n: int, n_windows: int = 16,
+               partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic `audio` table with planted duplicate
+    structure — the audio analogue of make_images/make_videos: content
+    depends only on the row index, so every parallelism level generates
+    byte-identical tables."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([_audio_row(int(i), n_windows)
+                                for i in pdf["id"]])
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, schema=AUDIO_SCHEMA)
+
+
+def truth_audio_clusters(n: int) -> int:
+    """Expected cluster count for make_audio(n), n % 10 == 0: one
+    {r0, r1, r2} cluster + 7 singletons per group."""
+    if n % 10:
+        raise ValueError("closed-form truth needs n divisible by 10")
+    return (n // 10) * 8

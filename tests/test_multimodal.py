@@ -214,3 +214,35 @@ def test_video_near_dup_trimmed_copy(spark):
     # undecodable payload accounted via video_features, not silently lost
     feats = mm.video_features(df, every_n=1)
     assert feats.filter(~F.col("decode_ok")).count() == 1
+
+
+def test_audio_near_dup_gain_and_trim(spark):
+    """The windowed peak-band fingerprint engine: a half-gain copy is
+    token-IDENTICAL (rank statistics are gain-invariant) and a
+    window-aligned trim pairs via shingle Jaccard; unrelated clips and
+    undecodable payloads stay out."""
+    from dupers_spark.operators import audio as ao
+    from dupers_spark.sources import datagen as dg
+
+    clips = dg.make_audio(spark, 10)  # one full group: r0..r9
+    df = clips.unionByName(spark.createDataFrame(
+        [("badbytes", bytearray(b"not a wav"), 0, "wav")],
+        dg.AUDIO_SCHEMA))
+
+    toks = {r["media_id"]: r["caption"]
+            for r in ao.audio_token_table(df).collect()}
+    assert "badbytes" not in toks  # undecodable excluded here
+    assert toks["aud_00000000"] == toks["aud_00000001"]  # gain-invariant
+    assert toks["aud_00000000"].split()[2:] == \
+        toks["aud_00000002"].split()  # trim drops exactly 2 leading tokens
+
+    edges, verified, _dropped = ao.audio_near_dup_edges(df)
+    groups = {tuple(sorted((r["a"], r["b"]))) for r in edges.collect()}
+    # {r0, r1, r2} connect (any spanning shape); no edge touches r3..r9
+    touched = {x for e in groups for x in e}
+    assert touched == {"aud_00000000", "aud_00000001", "aud_00000002"}
+    sims = {tuple(sorted((r["a"], r["b"]))): r["sim"]
+            for r in verified.collect()}
+    trim_pair = tuple(sorted(("aud_00000000", "aud_00000002")))
+    if trim_pair in sims:  # r2 may verify against r0 or the collapsed rep
+        assert sims[trim_pair] >= 0.8
