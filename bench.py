@@ -248,6 +248,11 @@ def main() -> None:
         # nodes without edges are singleton clusters
         extras["video_clusters"] = n_comp + (n_vid - n_nodes)
         extras["video_clusters_expected"] = datagen.truth_video_clusters(n_vid)
+        # the correctness gate the docstring promises, as recorded fact —
+        # a boolean rather than an assert so one bad cell can't void the
+        # whole bench record
+        extras["video_clusters_match"] = (
+            extras["video_clusters"] == extras["video_clusters_expected"])
 
     c0, t0 = _cpu_snap(), time.time()
     video_dedup()

@@ -66,6 +66,8 @@ def _fingerprint_tokens(data: bytes, win: int, bands: int) -> list[int]:
     e = np.stack([
         power[:, a:b].sum(axis=1) for a, b in zip(edges[:-1], edges[1:])
     ], axis=1)  # (n_win, n_bands)
+    if e.shape[1] < 2:  # degenerate tiny window: one band, no runner-up
+        return [0] * n_win
     order = np.argsort(-e, axis=1, kind="stable")  # deterministic ties
     return (order[:, 0] * np.int64(bands) + order[:, 1]).tolist()
 
