@@ -649,11 +649,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = 64
 
         def gen(batches):
-            import io
-            import wave
-
             import numpy as np
             import pandas as pd
+
+            # the one WAV-container writer (mono/16-bit/8kHz contract)
+            from dupers_spark.sources.datagen import _audio_wav
 
             for pdf in batches:
                 ids, blobs = [], []
@@ -666,13 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     amp = 32767 if i % 8 == 0 else 300 + 497 * i
                     x = np.empty(4096, dtype="<i2")
                     x[0::2], x[1::2] = amp, -amp
-                    buf = io.BytesIO()
-                    with wave.open(buf, "wb") as wf:
-                        wf.setnchannels(1)
-                        wf.setsampwidth(2)
-                        wf.setframerate(8000)
-                        wf.writeframes(x.tobytes())
-                    blobs.append(buf.getvalue())
+                    blobs.append(_audio_wav(x))
                 yield pd.DataFrame({"media_id": ids, "bytes": blobs})
 
         media = spark.range(0, n, 1, 4).mapInPandas(

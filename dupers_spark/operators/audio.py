@@ -54,10 +54,18 @@ def _fingerprint_tokens(data: bytes, win: int, bands: int) -> list[int]:
     tokens stay discriminative (bands² values) while keeping the same
     invariance."""
     x, _rate, _nch, _full, _n = _wav_pcm(data)
+    if len(x) == 0:
+        return []
     n_win = len(x) // win
     if n_win == 0:
-        return []
-    frames = x[: n_win * win].reshape(n_win, win)
+        # decodable clip shorter than one window: one whole-clip frame, so
+        # it still participates in the graph instead of silently vanishing
+        # (decode_ok is True for it, so the ~decode_ok accounting query
+        # would never surface a drop here)
+        frames = x[None, :]
+        n_win = 1
+    else:
+        frames = x[: n_win * win].reshape(n_win, win)
     power = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (n_win, win//2+1)
     n_bins = power.shape[1]
     # linear band edges over [1, n_bins): skip DC so offsets/padding
@@ -76,9 +84,11 @@ def audio_token_table(media: DataFrame, win: int = 1024, bands: int = 16,
                       id_col: str = "media_id",
                       bytes_col: str = "bytes") -> DataFrame:
     """(media_id, caption) — each decodable clip's windowed fingerprint
-    token sequence as a space-joined string, LSH-engine-ready. Undecodable
-    or shorter-than-one-window payloads are excluded here (account for
-    them via multimodal.audio_features(...).filter(~decode_ok))."""
+    token sequence as a space-joined string, LSH-engine-ready. Clips
+    shorter than one window get a single whole-clip token (they stay in
+    the graph); only UNDECODABLE or empty payloads are excluded here, and
+    those are exactly the rows
+    multimodal.audio_features(...).filter(~decode_ok) accounts for."""
     src = media.select(F.col(id_col).alias("media_id"),
                        F.col(bytes_col).alias("bytes"))
 

@@ -307,10 +307,17 @@ def stream_first_seen(
         else:
             exemplar, n_seen = ids[0], 0
         state.update((exemplar, n_seen + len(ids)))
+        # exactly ONE is_first row per digest ever: the sorted batch's
+        # first element, and only in the batch that creates the state —
+        # a duplicate (digest, id) delivery in that same batch must NOT
+        # yield a second exemplar row
+        firsts = [False] * len(ids)
+        if n_seen == 0:
+            firsts[0] = True
         yield pd.DataFrame({
             digest_col: [key[0]] * len(ids),
             id_col: ids,
-            "is_first": [n_seen == 0 and i == exemplar for i in ids],
+            "is_first": firsts,
             "dup_of": [exemplar] * len(ids),
             "seen_ordinal": list(range(n_seen, n_seen + len(ids))),
         })
