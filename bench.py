@@ -50,6 +50,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "400000"))
 ANN_DIM = int(os.environ.get("SPARK_GRAFT_BENCH_ANN_DIM", "512"))
 ANN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ANN_ROWS", "20000"))
+# steal% above this marks a timed window as contended: the entry is rerun
+# once and the cleaner window kept (clean windows on this host sample ≈0%;
+# the round-5 contended driver window sampled 8.4%)
+STEAL_RERUN_PCT = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_PCT", "2.0"))
 
 
 def _cpu_snap() -> list[int]:
@@ -71,8 +75,8 @@ def main() -> None:
 
     def record_run(name: str, dt: float, d: list[int]) -> float:
         """The ONE implementation of the load-evidence math (busy core-s +
-        steal% over a timed window) — record() and the best-of-N entries
-        all land here so the adjudication fields can never diverge."""
+        steal% over a timed window) — every timed entry lands here so the
+        adjudication fields can never diverge."""
         timings[name] = round(dt, 3)
         load[name] = {
             "busy_core_s": round((d[0] + d[2]) / 100.0, 1),
@@ -80,30 +84,44 @@ def main() -> None:
         }
         return dt
 
-    def record(name: str, t0: float, c0: list[int]) -> float:
-        return record_run(name, time.time() - t0,
-                          [b - a for a, b in zip(c0, _cpu_snap())])
+    def _steal(d: list[int]) -> float:
+        return 100 * d[7] / max(1, sum(d))
 
-    def timed(name: str, fn) -> None:
-        c0, t0 = _cpu_snap(), time.time()
-        fn()
-        record(name, t0, c0)
+    def timed(name: str, fn, n: int = 1) -> float:
+        """Time fn (min over n runs), then apply window hygiene: if the
+        chosen window's steal% exceeds STEAL_RERUN_PCT, rerun ONCE more and
+        prefer a clean window — so the driver JSON's headline numbers are
+        clean-window by construction instead of by side-file. An entry is
+        flagged ``contended: true`` only when every sampled window was
+        dirty (the flag, plus the recorded raw runs, makes the artifact
+        self-adjudicating; see BENCH/BASELINE.md)."""
+        runs = []
+
+        def one():
+            c0, t0 = _cpu_snap(), time.time()
+            fn()
+            dt = time.time() - t0
+            runs.append((dt, [b - a for a, b in zip(c0, _cpu_snap())]))
+
+        for _ in range(n):
+            one()
+        best = min(runs, key=lambda r: r[0])
+        if _steal(best[1]) > STEAL_RERUN_PCT:
+            one()  # one hygiene rerun, bounded — not a retry loop
+            best = min(runs, key=lambda r: (_steal(r[1]) > STEAL_RERUN_PCT,
+                                            r[0]))
+        dt, d = best
+        record_run(name, dt, d)
+        load[name]["contended"] = _steal(d) > STEAL_RERUN_PCT
+        if len(runs) > 1:
+            extras[f"{name}_runs"] = [round(r[0], 3) for r in runs]
+        return dt
 
     def timed_best_of(name: str, fn, n: int) -> float:
         """min-of-n timing with every raw run recorded — for the
         memory-bandwidth-bound entries whose single-shot times swing 4-5×
         with host weather on byte-identical code (see BENCH/BASELINE.md)."""
-        runs = []
-        for _ in range(n):
-            c0, t0 = _cpu_snap(), time.time()
-            fn()
-            dt = time.time() - t0
-            runs.append((dt, [b - a for a, b in zip(c0, _cpu_snap())]))
-        dt, d = min(runs, key=lambda r: r[0])
-        record_run(name, dt, d)
-        if n > 1:
-            extras[f"{name}_runs"] = [round(r[0], 3) for r in runs]
-        return dt
+        return timed(name, fn, n)
 
     # ---- input prep, OUTSIDE the clock (cluster jobs read existing tables)
     img_path = f"/tmp/dupers_bench_images_{N_IMAGES}.parquet"
@@ -133,16 +151,16 @@ def main() -> None:
 
     # headline: full image dedup (exact + caption LSH + phash + CC),
     # branches materialized concurrently — the -fast variant (stored phash)
+    out: dict = {}
+
     def images_dedup():
-        n = images.count()
+        out["n_img"] = images.count()
         edges = dedup_edges_concurrent(images, recompute_phash=False)
         assign = connected_components(edges)
         extras["dedup_clusters"] = assign.select("component_id").distinct().count()
-        return n
 
-    c0, t0 = _cpu_snap(), time.time()
-    n_img = images_dedup()
-    dt = record("images_dedup_pipeline", t0, c0)
+    dt = timed("images_dedup_pipeline", images_dedup)
+    n_img = out["n_img"]
     extras["images_per_sec"] = round(n_img / dt, 1)
     extras["n_images"] = n_img
 
@@ -156,9 +174,7 @@ def main() -> None:
         extras["dedup_clusters_normal"] = \
             assign.select("component_id").distinct().count()
 
-    c0, t0 = _cpu_snap(), time.time()
-    images_dedup_normal()
-    dt = record("images_dedup_normal", t0, c0)
+    dt = timed("images_dedup_normal", images_dedup_normal)
     extras["images_per_sec_normal"] = round(n_img / dt, 1)
 
     # cold start: the SAME headline job in a FRESH python+JVM process —
@@ -181,12 +197,13 @@ def main() -> None:
         "'clusters': n}}))\n"
     ).format(repo=os.path.dirname(os.path.abspath(__file__)),
              cpus=CPUS, img=img_path)
-    c0, t0 = _cpu_snap(), time.time()
-    out = subprocess.run([sys.executable, "-c", cold_code],
-                         capture_output=True, text=True, check=True)
-    record("images_dedup_pipeline_cold", t0, c0)
-    cold = json.loads(out.stdout.strip().splitlines()[-1])
-    extras["images_per_sec_cold"] = round(n_img / cold["cold_sec"], 1)
+    def cold_run():
+        res = subprocess.run([sys.executable, "-c", cold_code],
+                             capture_output=True, text=True, check=True)
+        out["cold"] = json.loads(res.stdout.strip().splitlines()[-1])
+
+    timed("images_dedup_pipeline_cold", cold_run)
+    extras["images_per_sec_cold"] = round(n_img / out["cold"]["cold_sec"], 1)
 
     # index-only probe: the reference's `-fast` headline (213k files/s) —
     # digest equi-join of the full table against its own prebuilt index
@@ -227,11 +244,13 @@ def main() -> None:
         batch = images.limit(n_batch).select(
             F.concat(F.lit("znew_"), "image_id").alias("image_id"), "caption"
         ).localCheckpoint()
-        c0, t0 = _cpu_snap(), time.time()
-        inc_edges, _iv, _idr, _isn = ml.incremental_near_dup_edges(
-            sigs_lsh, batch, index_buckets=buckets_lsh)
-        extras[f"incremental_edges{tag}"] = inc_edges.count()
-        dt = record(entry, t0, c0)
+
+        def probe():
+            inc_edges, _iv, _idr, _isn = ml.incremental_near_dup_edges(
+                sigs_lsh, batch, index_buckets=buckets_lsh)
+            extras[f"incremental_edges{tag}"] = inc_edges.count()
+
+        dt = timed(entry, probe)
         extras[f"incremental_batch_rows_per_sec{tag}"] = round(n_batch / dt, 1)
         extras[f"incremental_batch_rows{tag}"] = n_batch
 
@@ -260,21 +279,27 @@ def main() -> None:
         n_comp = comp.select("component_id").distinct().count()
         # nodes without edges are singleton clusters
         extras["video_clusters"] = n_comp + (n_vid - n_nodes)
-        extras["video_clusters_expected"] = datagen.truth_video_clusters(n_vid)
-        # the correctness check, as recorded fact: a boolean rather than an
-        # assert so one bad cell can't void the whole bench record — but a
-        # False is loudly flagged, not just buried in extras
-        extras["video_clusters_match"] = (
-            extras["video_clusters"] == extras["video_clusters_expected"])
-        if not extras["video_clusters_match"]:
-            print(f"WARNING: video_dedup cluster count "
-                  f"{extras['video_clusters']} != expected "
-                  f"{extras['video_clusters_expected']} — engine regression",
-                  file=sys.stderr)
+        # the closed-form truth only exists for corpora the generator's
+        # 10-video cluster template tiles exactly — a hand-set
+        # SPARK_GRAFT_BENCH_VIDEOS not divisible by 10 skips the check
+        # (recorded as expected=None) instead of crashing the bench
+        if n_vid % 10 == 0:
+            extras["video_clusters_expected"] = \
+                datagen.truth_video_clusters(n_vid)
+            # the correctness check, as recorded fact: a boolean rather
+            # than an assert so one bad cell can't void the whole bench
+            # record — but a False is loudly flagged, not buried in extras
+            extras["video_clusters_match"] = (
+                extras["video_clusters"] == extras["video_clusters_expected"])
+            if not extras["video_clusters_match"]:
+                print(f"WARNING: video_dedup cluster count "
+                      f"{extras['video_clusters']} != expected "
+                      f"{extras['video_clusters_expected']} — engine "
+                      "regression", file=sys.stderr)
+        else:
+            extras["video_clusters_expected"] = None
 
-    c0, t0 = _cpu_snap(), time.time()
-    video_dedup()
-    dt = record("video_dedup", t0, c0)
+    dt = timed("video_dedup", video_dedup)
     extras["videos_per_sec"] = round(n_vid / dt, 1)
 
     timed("exact_dedup_docs", lambda: dedup_text.exact_dup_groups(
@@ -346,10 +371,9 @@ def main() -> None:
         # ~union(nprobe·m)/n_centroids, meaningless when m·nprobe ≫ K.
         C = ann.ivf_centroids(big, n_centroids=64, sample=20_000)
         assigned = ann.ivf_assign(big, C).localCheckpoint()
-        c0, t0 = _cpu_snap(), time.time()
-        ann.ivf_topk(big, probes, k=10, nprobe=4,
-                     centroids=C, index=assigned).count()
-        record(f"ann_ivf_query_dim512{suffix}", t0, c0)
+        timed(f"ann_ivf_query_dim512{suffix}",
+              lambda: ann.ivf_topk(big, probes, k=10, nprobe=4,
+                                   centroids=C, index=assigned).count())
 
     ann_512(ANN_ROWS, "", ivf=False)   # round-over-round comparable entry
     extras["ann_np_rows"] = ANN_ROWS

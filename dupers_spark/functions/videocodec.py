@@ -116,11 +116,18 @@ def _iter_chunks(data: bytes, start: int, end: int):
 
 def probe_avi(data: bytes) -> dict:
     """Parse container metadata WITHOUT decoding pixels → dict with
-    width, height, fps, n_frames, fourcc, compression. Raises
-    UnsupportedVideo on non-AVI bytes or codec-compressed streams."""
+    width, height, fps, n_frames, fourcc, compression, stream_no (the
+    0-based index of the 'vids' stream within hdrl — its two-digit chunk
+    prefix inside movi). Raises UnsupportedVideo on non-AVI bytes,
+    codec-compressed streams, or containers with no video stream.
+
+    The strf is bound to the strl whose strh declares fccType 'vids'
+    (tracked via ``cur_type``) — an audio strl appearing first must NOT
+    have its WAVEFORMATEX misread as a BITMAPINFOHEADER."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise UnsupportedVideo("not a RIFF/AVI payload")
     meta: dict = {}
+    stream_no = -1
     for tag, p, n in _iter_chunks(data, 12, len(data)):
         if tag != b"LIST" or data[p:p + 4] != b"hdrl":
             continue
@@ -130,18 +137,26 @@ def probe_avi(data: bytes) -> dict:
                 meta.update(usec_per_frame=f[0], n_frames=f[4],
                             width=f[8], height=f[9])
             elif t2 == b"LIST" and data[p2:p2 + 4] == b"strl":
+                stream_no += 1
+                cur_type = None
                 for t3, p3, n3 in _iter_chunks(data, p2 + 4, p2 + n2):
-                    if t3 == b"strh" and data[p3:p3 + 4] == b"vids":
-                        meta["fourcc"] = data[p3 + 4:p3 + 8].decode(
-                            "ascii", "replace").strip()
-                    elif t3 == b"strf" and "compression" not in meta:
+                    if t3 == b"strh":
+                        cur_type = data[p3:p3 + 4]
+                        if cur_type == b"vids" and "stream_no" not in meta:
+                            meta["stream_no"] = stream_no
+                            meta["fourcc"] = data[p3 + 4:p3 + 8].decode(
+                                "ascii", "replace").strip()
+                    elif (t3 == b"strf" and cur_type == b"vids"
+                          and "compression" not in meta):
                         bi = struct.unpack_from("<IiiHHI", data, p3)
                         meta["compression"] = bi[5]
                         meta["bit_count"] = bi[4]
         break
     if "width" not in meta:
         raise UnsupportedVideo("AVI without an avih header")
-    if meta.get("compression", 0) != 0 or meta.get("bit_count", 24) != 24:
+    if "stream_no" not in meta or "compression" not in meta:
+        raise UnsupportedVideo("AVI without a 'vids' strl/strf stream header")
+    if meta["compression"] != 0 or meta.get("bit_count", 24) != 24:
         raise UnsupportedVideo(
             f"compressed/non-24-bit video ({meta.get('fourcc')!r}, "
             f"biCompression={meta.get('compression')}) needs a codec "
@@ -151,19 +166,33 @@ def probe_avi(data: bytes) -> dict:
     return meta
 
 
+def _iter_movi_chunks(data: bytes, start: int, end: int):
+    """Flatten a movi chunk run, recursing into 'LIST rec ' interleave
+    groups (the standard OpenDML layout for interleaved A/V)."""
+    for tag, p, n in _iter_chunks(data, start, end):
+        if tag == b"LIST" and data[p:p + 4] == b"rec ":
+            yield from _iter_movi_chunks(data, p + 4, p + n)
+        else:
+            yield tag, p, n
+
+
 def iter_avi_frames(data: bytes, every_n: int = 1):
     """Yield (frame_no, (h, w, 3) RGB uint8) for frames 0, every_n,
     2·every_n, … — only SAMPLED frames are decoded; skipped chunks cost a
-    header read. Uncompressed '00db'/'00dc' BI_RGB chunks only."""
+    header read. Only the 'vids' stream's '##db'/'##dc' BI_RGB chunks are
+    counted as frames (## = the stream's two-digit prefix from probe_avi),
+    so a second stream's '01db' chunks and 'rec '-grouped interleaving are
+    handled per spec instead of miscounted."""
     meta = probe_avi(data)
     w, h = meta["width"], meta["height"]
+    prefix = b"%02d" % meta["stream_no"]
     frame_no = 0
     for tag, p, n in _iter_chunks(data, 12, len(data)):
         if tag != b"LIST" or data[p:p + 4] != b"movi":
             continue
-        for t2, p2, n2 in _iter_chunks(data, p + 4, p + n):
-            if t2[2:4] not in (b"db", b"dc"):
-                continue  # audio / index droppings
+        for t2, p2, n2 in _iter_movi_chunks(data, p + 4, p + n):
+            if t2[:2] != prefix or t2[2:4] not in (b"db", b"dc"):
+                continue  # other streams / index droppings
             if frame_no % every_n == 0:
                 yield frame_no, _undib_bits(data[p2:p2 + n2], w, h)
             frame_no += 1

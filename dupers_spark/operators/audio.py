@@ -42,8 +42,11 @@ from dupers_spark.operators import minhash_lsh as ml
 from dupers_spark.operators.multimodal import _wav_pcm
 
 
-def _fingerprint_tokens(data: bytes, win: int, bands: int) -> list[int]:
-    """One WAV payload → per-window tokens. The window's rfft power
+EMPTY_CLIP_TOKEN = -1  # sentinel for decodable zero-frame clips
+
+
+def _tokens_from_pcm(x: np.ndarray, win: int, bands: int) -> list[int]:
+    """Mono PCM samples → per-window tokens. The window's rfft power
     spectrum is folded into `bands` LINEAR bands (DC excluded) and the
     token is ``argmax_band * bands + runnerup_band`` — where the spectral
     energy peaks, which is a RANKING of band energies and therefore
@@ -52,10 +55,14 @@ def _fingerprint_tokens(data: bytes, win: int, bands: int) -> list[int]:
     chromaprint bitstring) were tried first but collapse to <8 distinct
     values on tonal content whose energy sits in few bands; peak-pair
     tokens stay discriminative (bands² values) while keeping the same
-    invariance."""
-    x, _rate, _nch, _full, _n = _wav_pcm(data)
+    invariance.
+
+    A decodable zero-frame clip returns ``[EMPTY_CLIP_TOKEN]`` rather than
+    [] so it stays in the near-dup graph (two empty clips ARE duplicates)
+    and the ~decode_ok accounting stays exact — no decodable row is ever
+    silently excluded from the token table."""
     if len(x) == 0:
-        return []
+        return [EMPTY_CLIP_TOKEN]
     n_win = len(x) // win
     if n_win == 0:
         # decodable clip shorter than one window: one whole-clip frame, so
@@ -85,10 +92,13 @@ def audio_token_table(media: DataFrame, win: int = 1024, bands: int = 16,
                       bytes_col: str = "bytes") -> DataFrame:
     """(media_id, caption) — each decodable clip's windowed fingerprint
     token sequence as a space-joined string, LSH-engine-ready. Clips
-    shorter than one window get a single whole-clip token (they stay in
-    the graph); only UNDECODABLE or empty payloads are excluded here, and
-    those are exactly the rows
-    multimodal.audio_features(...).filter(~decode_ok) accounts for."""
+    shorter than one window get a single whole-clip token and zero-frame
+    clips the EMPTY_CLIP_TOKEN sentinel (both stay in the graph); only
+    UNDECODABLE or empty payloads are excluded here, and those are exactly
+    the rows multimodal.audio_features(...).filter(~decode_ok) accounts
+    for — the catch wraps ONLY the ``_wav_pcm`` decode (the same call
+    audio_features' decode_ok reflects); post-decode tokenization errors
+    propagate loudly instead of becoming silent drops."""
     src = media.select(F.col(id_col).alias("media_id"),
                        F.col(bytes_col).alias("bytes"))
 
@@ -99,9 +109,10 @@ def audio_token_table(media: DataFrame, win: int = 1024, bands: int = 16,
                 if data is None or len(data) == 0:
                     continue
                 try:
-                    toks = _fingerprint_tokens(bytes(data), win, bands)
+                    x, _rate, _nch, _full, _n = _wav_pcm(bytes(data))
                 except Exception:
-                    continue
+                    continue  # == audio_features decode_ok=False rows
+                toks = _tokens_from_pcm(x, win, bands)
                 if toks:
                     ids.append(mid)
                     caps.append(" ".join(str(t) for t in toks))

@@ -163,6 +163,101 @@ def test_avi_codec_roundtrip():
         vc.probe_avi(b"RIFFxxxxNOPE")
 
 
+def _make_interleaved_avi(frames, fps: int = 10) -> bytes:
+    """Hand-build a spec-shaped AVI the simple encoder never emits: an
+    AUDIO strl FIRST in hdrl (so the video stream is stream 01), movi
+    frames wrapped in 'LIST rec ' interleave groups, each group carrying
+    the audio stream's '00wb' chunk before the video '01db' chunk. Probes
+    the two ADVICE-flagged parse paths: strf must bind to the 'vids' strl
+    (not the first strl) and frame iteration must recurse into rec groups
+    matching only the video stream's prefix."""
+    import struct
+
+    from dupers_spark.functions import videocodec as vc
+
+    h, w, _ = frames[0].shape
+    usec = int(round(1_000_000 / fps))
+    n = len(frames)
+    frame_bytes = vc._pad_row(w) * h
+    avih = struct.pack("<14I", usec, frame_bytes * fps, 0, 0x10, n, 0, 2,
+                       frame_bytes, w, h, 0, 0, 0, 0)
+    # stream 0: audio — its strf is a WAVEFORMATEX, NOT a BITMAPINFOHEADER
+    strh_a = (b"auds" + b"\x00\x00\x00\x00" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, n, 320, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, 0, 0))
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)  # PCM fmt
+    # stream 1: the video stream
+    strh_v = (b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h))
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                         0, 0, 0, 0)
+    hdrl = vc._list(
+        b"hdrl",
+        vc._chunk(b"avih", avih)
+        + vc._list(b"strl", vc._chunk(b"strh", strh_a)
+                   + vc._chunk(b"strf", strf_a))
+        + vc._list(b"strl", vc._chunk(b"strh", strh_v)
+                   + vc._chunk(b"strf", strf_v)))
+    recs = []
+    for fr in frames:
+        recs.append(vc._list(
+            b"rec ",
+            vc._chunk(b"00wb", b"\x00" * 320)          # audio payload
+            + vc._chunk(b"01db", vc._dib_bits(fr))))   # video frame
+    movi = vc._list(b"movi", b"".join(recs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_interleaved_rec_groups_and_audio_first_strl():
+    """An audio-first, rec-grouped AVI decodes exactly like the simple
+    layout: strf binds to the vids strl, '00wb' audio chunks are not
+    counted as frames, and rec groups are recursed into."""
+    import numpy as np
+
+    from dupers_spark.functions import videocodec as vc
+
+    frames = [_frame(11, i) for i in range(4)]
+    data = _make_interleaved_avi(frames, fps=10)
+    meta = vc.probe_avi(data)
+    assert meta["stream_no"] == 1
+    assert meta["compression"] == 0 and meta["bit_count"] == 24
+    assert (meta["width"], meta["height"]) == (32, 24)
+    decoded = list(vc.iter_avi_frames(data))
+    assert [f for f, _ in decoded] == [0, 1, 2, 3]
+    for (_, px), orig in zip(decoded, frames):
+        assert np.array_equal(px, orig)
+    # sampling honors the true frame numbering across rec groups
+    sampled = list(vc.iter_avi_frames(data, every_n=2))
+    assert [f for f, _ in sampled] == [0, 2]
+
+
+def test_avi_without_vids_stream_is_unsupported_not_misparsed():
+    """An AVI whose only strl is audio must raise UnsupportedVideo (an
+    accounted decode_ok=False row) — not have its WAVEFORMATEX misread as
+    a BITMAPINFOHEADER."""
+    import struct
+
+    import pytest as _pytest
+
+    from dupers_spark.functions import videocodec as vc
+
+    avih = struct.pack("<14I", 100000, 0, 0, 0x10, 0, 0, 1, 0, 32, 24,
+                       0, 0, 0, 0)
+    strh_a = (b"auds" + b"\x00\x00\x00\x00"
+              + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 1, 320,
+                            0xFFFFFFFF, 0) + struct.pack("<4H", 0, 0, 0, 0))
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    hdrl = vc._list(b"hdrl", vc._chunk(b"avih", avih)
+                    + vc._list(b"strl", vc._chunk(b"strh", strh_a)
+                               + vc._chunk(b"strf", strf_a)))
+    body = b"AVI " + hdrl + vc._list(b"movi", b"")
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(vc.UnsupportedVideo):
+        vc.probe_avi(data)
+
+
 def test_video_frame_sampling(spark):
     """sample_video_frames decodes only frames 0, n, 2n, … re-encoded as
     PNG; undecodable payloads surface as ONE decode_ok=False row."""
@@ -246,3 +341,38 @@ def test_audio_near_dup_gain_and_trim(spark):
     trim_pair = tuple(sorted(("aud_00000000", "aud_00000002")))
     if trim_pair in sims:  # r2 may verify against r0 or the collapsed rep
         assert sims[trim_pair] >= 0.8
+
+
+def test_audio_token_table_accounting_is_exact(spark):
+    """Every row audio_features reports decode_ok=True appears in the token
+    table — including a VALID zero-frame WAV, which gets the empty-clip
+    sentinel token instead of being silently dropped (ADVICE round-5: the
+    old blanket except undercounted drops)."""
+    import io
+    import wave
+
+    from dupers_spark.operators import audio as ao
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"")  # zero frames, still a valid WAV
+    empty_wav = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [("empty", bytearray(empty_wav)),
+         ("tone", bytearray(_make_wav(440.0))),
+         ("junk", bytearray(b"not a wav"))],
+        ["media_id", "bytes"])
+    feats = {r["media_id"]: r["decode_ok"]
+             for r in mm.audio_features(df).collect()}
+    toks = {r["media_id"]: r["caption"]
+            for r in ao.audio_token_table(df).collect()}
+    # exact accounting: token-table membership ≡ decode_ok
+    assert set(toks) == {m for m, ok in feats.items() if ok} == \
+        {"empty", "tone"}
+    assert toks["empty"] == str(ao.EMPTY_CLIP_TOKEN)
+    # two empty clips are duplicates of each other (identical captions)
+    assert not feats["junk"]
