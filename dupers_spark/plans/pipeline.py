@@ -43,10 +43,23 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dupers_spark.operators import exact, minhash_lsh as ml, simhash as sh
 from dupers_spark.operators.components import (
+    apply_relabel,
     connected_components,
-    incremental_components,
+    incremental_components_delta,
     with_singletons,
 )
+
+# component-bucket partition count for the persisted assignment stage:
+# cb = pmod(xxhash64(image_id), CB_PARTITIONS) — image_id is immutable, so a
+# row NEVER moves between partitions when its component label changes, which
+# is what makes dynamic partition overwrite safe (a partition's full new
+# content is always derivable from that partition alone + the relabel map)
+CB_PARTITIONS = 64
+
+
+def with_cb(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "cb", F.pmod(F.xxhash64("image_id"), F.lit(CB_PARTITIONS)).cast("int"))
 
 
 @dataclass(frozen=True)
@@ -418,11 +431,14 @@ class DedupPipeline:
         for e in edge_frames[1:]:
             all_edges = all_edges.unionByName(e)
 
+        # cb-partitioned (identity-partition layout) so run_incremental can
+        # relabel by overwriting ONLY the partitions an append touches
         comps = self._stage(
             "components",
-            lambda: with_singletons(
+            lambda: with_cb(with_singletons(
                 connected_components(all_edges), sigs.select("image_id")
-            ),
+            )),
+            partition_by=["cb"],
         )
 
         if not self.cfg.fast and self.cfg.psnr_sample > 0:
@@ -452,7 +468,7 @@ class DedupPipeline:
         if self._force_rebuild and os.path.exists(self._pending()):
             os.remove(self._pending())
         self._force_rebuild = False
-        return comps
+        return comps.select("image_id", "component_id")
 
     def run_incremental(self, new_images: DataFrame) -> DataFrame:
         """Append-batch update of a COMPLETED warehouse — dupers' `up`
@@ -477,12 +493,14 @@ class DedupPipeline:
             cluster correct, and the index grows with batches, not with
             the corpus.
           * components: contracted-graph recluster
-            (components.incremental_components) — touched old components
-            collapse to their labels, CC runs over the O(batch) contracted
-            edge set, and the corpus assignment is updated by one map-side
-            broadcast-relabel pass. A batch row bridging two old clusters
-            relabels both, byte-identically to a full rebuild, without a
-            corpus-sized CC per append.
+            (components.incremental_components_delta) — touched old
+            components collapse to their labels, CC runs over the O(batch)
+            contracted edge set, and the delta is applied by OVERWRITING
+            ONLY the cb partitions of the assignment stage that hold a
+            relabeled or new row (StageStore.overwrite_partitions). A batch
+            row bridging two old clusters relabels both, byte-identically
+            to a full rebuild, with O(touched-partition) write volume — not
+            a corpus-sized CC or a corpus-sized assignment rewrite.
           * crash + concurrency safety: appends are not idempotent, so the
             whole append window is guarded by an O_EXCL ``_INC_PENDING``
             sentinel — a concurrent run_incremental on the same warehouse
@@ -524,6 +542,16 @@ class DedupPipeline:
             needed.append("lsh_buckets")
         if self.cfg.use_phash:
             needed.append("phash_blocks")
+
+        # the assignment must be cb-partitioned for O(touched) relabel
+        # writes; a warehouse written before partitioning existed is
+        # rewritten once here (the old full-rewrite cost, paid one final
+        # time), then every subsequent append overwrites only touched
+        # partitions
+        if "cb" not in self._read_stage("components").columns:
+            self._write_stage("components",
+                              with_cb(self._read_stage("components")),
+                              partition_by=["cb"])
 
         # appends are NOT idempotent (duplicate signature rows, index reps
         # and edges on a replay), so an append run must be exclusive and
@@ -637,20 +665,32 @@ class DedupPipeline:
 
             # recluster via the CONTRACTED graph (components.py): old
             # components touched by the batch collapse to their labels, CC
-            # runs over the O(batch) contracted edge set, and the corpus is
-            # relabeled in one map-side broadcast pass — zero corpus
-            # shuffles and no corpus-sized star-forest CC per append. The
-            # contracted CC runs eagerly HERE (read-only, so a failure
-            # still leaves the warehouse untouched); the returned
-            # corpus-size frame stays lazy until the post-append write.
+            # runs over the O(batch) contracted edge set, and the result is
+            # a DELTA — (relabel map, batch assignments) — applied below by
+            # overwriting ONLY the cb partitions holding a relabeled or new
+            # row. Zero corpus shuffles, and the WRITE is O(touched
+            # partitions) too, not the corpus-sized assignment rewrite the
+            # round-5 formulation paid per append. Finding the relabeled
+            # rows' partitions costs one skinny pushed-down corpus scan of
+            # (component_id, cb) — read-side; the rewrite is pruned.
             t0 = time.time()
             old_assign = self._read_stage("components")
             new_edges_all = new_edge_frames[0]
             for e in new_edge_frames[1:]:
                 new_edges_all = new_edges_all.unionByName(e)
-            final_assign = incremental_components(
-                old_assign, new_edges_all, bsigs.select("image_id"))
-            metric("inc_components_contracted", -1, t0)
+            relabel, new_assign = incremental_components_delta(
+                old_assign.select("image_id", "component_id"),
+                new_edges_all, bsigs.select("image_id"))
+            new_assign = with_cb(new_assign).localCheckpoint()
+            touched_cbs = sorted(
+                {r["cb"] for r in old_assign
+                    .join(F.broadcast(relabel),
+                          old_assign["component_id"] == relabel["old_lbl"],
+                          "leftsemi")
+                    .select("cb").distinct().collect()}
+                | {r["cb"] for r in new_assign.select("cb").distinct()
+                    .collect()})
+            metric("inc_components_contracted", len(touched_cbs), t0)
         except BaseException:
             os.remove(pending)  # nothing appended — warehouse untouched
             raise
@@ -705,17 +745,33 @@ class DedupPipeline:
                 F.count("*").alias("n"), fp_expr).collect()[0]
             n_total = int(fp["n"])
             h_total = fp["h"] & 0xFFFFFFFFFFFFFFFF
+        # components: overwrite ONLY the touched cb partitions — each gets
+        # its full new content (survivors relabeled in one broadcast pass +
+        # batch rows hashed there); untouched partitions' files are never
+        # rewritten. Rows never move between partitions (cb hashes the
+        # immutable image_id), so no partition can be left holding stale
+        # rows the output omits.
+        t0 = time.time()
+        surviving = apply_relabel(
+            old_assign.filter(F.col("cb").isin(touched_cbs)), relabel)
+        out_rows = surviving.select("image_id", "component_id", "cb") \
+            .unionByName(new_assign.select("image_id", "component_id", "cb"))
+        if touched_cbs:
+            self.store.overwrite_partitions("components", out_rows,
+                                            partition_by=["cb"])
+        metric("inc_components_overwrite", -1, t0)
+        lineage_append("components")
+
         self._input_fp = f"inc:{n_total}:{h_total:016x}"
         for rec in self.lineage:
             if rec["stage"].endswith("+append") and not rec["input_fp"]:
                 rec["input_fp"] = self._input_fp
-        for name in needed:
-            if name == "components":
-                continue  # marker written by _write_stage below
+        for name in needed:  # includes components (overwritten above)
             with open(self._marker(name), "w") as fh:
                 fh.write(self._marker_value())
 
-        comps = self._write_stage("components", final_assign)
+        comps = self._read_stage("components").select(
+            "image_id", "component_id")
         self._write_metrics(append_lineage=True)
         os.remove(pending)  # every append landed + markers refreshed
         return comps

@@ -193,7 +193,8 @@ def test_run_incremental_matches_full_rebuild(spark, images):
                for r in comps_inc.collect()}
         stages = {m["stage"] for m in p2.metrics}
         assert {"inc_signatures", "inc_exact_edges", "inc_lsh_edges",
-                "inc_phash_edges", "components"} <= stages
+                "inc_phash_edges", "inc_components_contracted",
+                "inc_components_overwrite"} <= stages
 
         cfg_full = PipelineConfig(warehouse=os.path.join(td, "wh_full"))
         comps_full = DedupPipeline(spark, cfg_full).run(images)
@@ -216,7 +217,8 @@ def test_run_incremental_matches_full_rebuild(spark, images):
         lin = {r["stage"]: r for r in spark.read.parquet(
             os.path.join(td, "wh", "lineage")).collect()}
         for st in ("signatures", "exact_edges", "lsh_sigs", "lsh_buckets",
-                   "lsh_edges", "phash_reps", "phash_blocks", "phash_edges"):
+                   "lsh_edges", "phash_reps", "phash_blocks", "phash_edges",
+                   "components"):
             assert f"{st}+append" in lin, st
             assert lin[f"{st}+append"]["input_fp"].startswith("inc:")
 
@@ -224,6 +226,67 @@ def test_run_incremental_matches_full_rebuild(spark, images):
             warehouse=os.path.join(td, "wh"), phash_radius=4))
         with pytest.raises(ValueError):
             bad.run_incremental(new)
+
+
+def test_incremental_components_write_touches_only_affected_partitions(
+        spark, images):
+    """The scale gate on the assignment stage: run_incremental must update
+    the components stage by overwriting ONLY the cb partitions holding a
+    relabeled or new row — a batch append may not rewrite the corpus-sized
+    assignment (round-5 verdict item #1: at 10^12 rows that write
+    amplification defeats incrementality). Verified from the filesystem:
+    per-partition file inventories (name, mtime, size) before vs after."""
+    import glob
+
+    from dupers_spark.plans.pipeline import CB_PARTITIONS, with_cb
+
+    # a genuinely small batch (5 of 120 rows) so "touched ≪ total" is a
+    # real inequality, not a coin flip over 64 hash buckets
+    old = images.filter(F.col("image_id") < "img_00000115")
+    new = images.filter(F.col("image_id") >= "img_00000115")
+    with tempfile.TemporaryDirectory() as td:
+        wh = os.path.join(td, "wh")
+        cfg = PipelineConfig(warehouse=wh)
+        DedupPipeline(spark, cfg).run(old)
+        comp_dir = os.path.join(wh, "components")
+
+        def inventory():
+            inv = {}
+            for d in glob.glob(os.path.join(comp_dir, "cb=*")):
+                files = sorted(
+                    (os.path.basename(f), os.path.getmtime(f),
+                     os.path.getsize(f))
+                    for f in glob.glob(os.path.join(d, "*.parquet")))
+                inv[os.path.basename(d)] = files
+            return inv
+
+        before = inventory()
+        assert len(before) > 1  # stage actually partitioned
+
+        p2 = DedupPipeline(spark, cfg)
+        comps_inc = p2.run_incremental(new)
+        after = inventory()
+
+        changed = {d for d in set(before) | set(after)
+                   if before.get(d) != after.get(d)}
+        # expected touched set: partitions of batch rows + partitions of
+        # members of relabeled components — recompute it independently
+        old_assign = spark.read.parquet(comp_dir)  # post-append state
+        batch_cbs = {r["cb"] for r in with_cb(new.select("image_id"))
+                     .select("cb").distinct().collect()}
+        assert changed, "append must touch at least the batch partitions"
+        assert {f"cb={c}" for c in batch_cbs} <= changed
+        # the O(touched) claim: the append wrote strictly fewer partitions
+        # than exist, and no untouched partition's files moved
+        assert len(changed) < len(after)
+        untouched = set(before) - changed
+        for d in untouched:
+            assert before[d] == after[d]
+        # and the math still holds: full-rebuild equality on cluster count
+        assert comps_inc.select("component_id").distinct().count() == \
+            _expected_cluster_count(N)
+        assert old_assign.count() == N
+        assert len(after) <= CB_PARTITIONS
 
 
 def test_fingerprint_value_validated():
