@@ -328,8 +328,12 @@ def main() -> None:
     store = StageStore(spark, sa_wh)
     timed("suffix_index_build", lambda: store.write(
         "suffix_index", search.build_suffix_index(docs, "doc_id", "text")))
+    # routed (trigram shard pruning, the default) vs exact full fan-out —
+    # the delta is the term-routing payoff the index promises (SURVEY §3.2)
     timed("suffix_query", lambda: search.query_suffix_index(
         store.read("suffix_index"), "merge join").count())
+    timed("suffix_query_full_fanout", lambda: search.query_suffix_index(
+        store.read("suffix_index"), "merge join", prune=False).count())
 
     timed("ann_topk", lambda: ann.brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 16), k=10

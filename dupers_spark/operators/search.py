@@ -20,10 +20,19 @@ Suffix-array design (distributed, shard-per-partition):
     suffixes).
   * the index is a DataFrame (shard_id, concat, sa, doc_ids, offsets) —
     persisted as a parquet/Iceberg stage table, resumable.
-  * a query fans out to all shards (classic search-index shard model),
-    binary-searches the SA per shard (O(|term| · log n) per shard), unions
-    matching doc ids. A global monolithic SA would serialize the build; the
-    shard model keeps build AND query embarrassingly parallel.
+  * a query fans out to the SURVIVING shards (classic search-index shard
+    model + term routing): each shard carries a trigram bitset
+    (``tri_filter``) built alongside its SA, and a query first scans ONLY
+    (shard_id, tri_filter) — a skinny column-pruned read, ~1/10⁴ of the
+    index bytes — to prune shards whose filter provably excludes any
+    trigram of the term. The SA probe then reads the big ``concat`` column
+    with a pushed-down ``shard_id IN (...)`` predicate (shards are single
+    rows, so parquet row-group stats skip pruned shards' bytes entirely).
+    Per-query I/O is sublinear in index size for selective terms; terms
+    shorter than 3 chars (or saturated filters) fall back to the exact
+    full fan-out. Binary search inside a shard is O(|term| · log n). A
+    global monolithic SA would serialize the build; the shard model keeps
+    build AND query embarrassingly parallel.
 """
 
 from __future__ import annotations
@@ -102,7 +111,39 @@ SA_SCHEMA = T.StructType([
     T.StructField("sa", T.ArrayType(T.IntegerType()), False),
     T.StructField("doc_ids", T.ArrayType(T.StringType()), False),
     T.StructField("offsets", T.ArrayType(T.IntegerType()), False),
+    # trigram bitset for term routing: TRI_BITS bits packed into int64
+    # words. A term can occur in the shard only if EVERY one of its
+    # trigrams' bits is set — single-hash Bloom semantics: false positives
+    # cost a wasted probe, false negatives are impossible.
+    T.StructField("tri_filter", T.ArrayType(T.LongType()), False),
 ])
+
+TRI_BITS = 1 << 17          # 131072 bits = 16 KiB per shard
+_TRI_WORDS = TRI_BITS // 64
+_TRI_P = np.uint64(1_000_003)  # polynomial base, wraps mod 2^64
+
+
+def _tri_positions(code_points: np.ndarray) -> np.ndarray:
+    """Vectorized trigram → bit position: rolling degree-2 polynomial hash
+    over consecutive code points, wrapped mod 2^64, masked to TRI_BITS."""
+    c = code_points.astype(np.uint64)
+    if len(c) < 3:
+        return np.empty(0, dtype=np.int64)
+    h = (c[:-2] * _TRI_P + c[1:-1]) * _TRI_P + c[2:]
+    return (h & np.uint64(TRI_BITS - 1)).astype(np.int64)
+
+
+def _tri_filter_words(text: str) -> np.ndarray:
+    """Shard text → packed int64 bitset of its trigrams."""
+    cps = np.fromiter(map(ord, text), dtype=np.int64, count=len(text))
+    pos = _tri_positions(cps)
+    bits = np.zeros(TRI_BITS, dtype=bool)
+    bits[pos] = True
+    # bit b of word w == bits[64w + b]: little bit order within bytes,
+    # explicit little-endian bytes→int64 so the layout is platform-stable
+    packed = np.packbits(bits.reshape(_TRI_WORDS, 64), axis=1,
+                         bitorder="little")
+    return packed.reshape(-1).view("<i8").copy()
 
 
 def build_suffix_index(df: DataFrame, id_col: str = "image_id",
@@ -159,6 +200,7 @@ def build_suffix_index(df: DataFrame, id_col: str = "image_id",
             "sa": np.array(sa, dtype=np.int32),
             "doc_ids": ids,
             "offsets": np.array(offsets, dtype=np.int32),
+            "tri_filter": _tri_filter_words(concat),
         }])
 
     return sharded.groupBy("shard_id").applyInPandas(build, schema=SA_SCHEMA)
@@ -191,10 +233,48 @@ def append_suffix_index(store, name: str, new_docs: DataFrame,
     return idx_new
 
 
-def query_suffix_index(index: DataFrame, term: str) -> DataFrame:
-    """→ DataFrame(doc_id) of docs containing ``term`` — SA binary search
-    per shard via mapInPandas (no full text scan).
+def surviving_shards(index: DataFrame, term: str,
+                     max_probe_trigrams: int = 8) -> list[int] | None:
+    """Shard ids whose trigram filter admits ``term`` — the term-routing
+    step (SURVEY §3.2). Returns None when routing cannot prune (term
+    shorter than one trigram, or a legacy index without ``tri_filter``),
+    meaning "probe every shard".
+
+    Cost shape: ONE column-pruned scan of (shard_id, tri_filter) — 16 KiB
+    per shard vs the shard's ~256 MB concat — with the bit tests evaluated
+    JVM-side (shiftright/&), so no shard text crosses Arrow here. Up to
+    ``max_probe_trigrams`` distinct trigrams are tested (more adds
+    selectivity but grows the predicate; 8 is plenty — each trigram is an
+    independent ~|distinct tris|/2^17 filter).
     """
+    if len(term) < 3 or "tri_filter" not in index.columns:
+        return None
+    cps = np.fromiter(map(ord, term), dtype=np.int64, count=len(term))
+    pos = np.unique(_tri_positions(cps))[:max_probe_trigrams]
+    pred = F.lit(True)
+    for p in pos.tolist():
+        w, b = divmod(int(p), 64)
+        pred = pred & (F.expr(
+            f"(shiftright(element_at(tri_filter, {w + 1}), {b}) & 1) = 1"))
+    rows = index.select("shard_id", "tri_filter").filter(pred) \
+        .select("shard_id").collect()
+    return [r["shard_id"] for r in rows]
+
+
+def query_suffix_index(index: DataFrame, term: str,
+                       prune: bool = True) -> DataFrame:
+    """→ DataFrame(doc_id) of docs containing ``term`` — trigram term
+    routing (see :func:`surviving_shards`) then SA binary search over the
+    surviving shards via mapInPandas. The probe scan carries a pushed-down
+    ``shard_id IN (...)`` predicate; shards are single parquet rows, so
+    row-group stats skip pruned shards' concat bytes entirely — per-query
+    I/O is O(matching shards), not O(index). ``prune=False`` forces the
+    exact full fan-out (the correctness twin the tests compare against).
+    """
+    if prune:
+        keep = surviving_shards(index, term)
+        if keep is not None:
+            index = index.filter(F.col("shard_id").isin(keep))
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hits: set[str] = set()

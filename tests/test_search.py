@@ -103,6 +103,58 @@ def test_suffix_index_incremental_append_equals_rebuild(spark, images_small,
         assert via_index == via_scan, term
 
 
+def test_suffix_query_prunes_shards_for_selective_terms(spark):
+    """Term routing (SURVEY §3.2): a term whose trigrams exist in only one
+    shard must probe a STRICT subset of shards — and the pruned answer must
+    equal the exact full fan-out. Terms under 3 chars fall back to probing
+    every shard (None = no routing)."""
+    # 12 shards of homogeneous filler; doc 7 carries a unique marker term
+    docs = spark.range(240).selectExpr(
+        "concat('doc_', lpad(cast(id as string), 4, '0')) AS image_id",
+        "concat(repeat('common filler words ', 20), "
+        "case when id = 7 then 'zebraquartz' else '' end) AS caption",
+    )
+    idx = search.build_suffix_index(docs, target_shard_bytes=10_000).cache()
+    n_shards = idx.select("shard_id").distinct().count()
+    assert n_shards >= 10
+
+    keep = search.surviving_shards(idx, "zebraquartz")
+    assert keep is not None and 0 < len(keep) < n_shards  # strict subset
+
+    pruned = {r["doc_id"]
+              for r in search.query_suffix_index(idx, "zebraquartz").collect()}
+    exact = {r["doc_id"] for r in search.query_suffix_index(
+        idx, "zebraquartz", prune=False).collect()}
+    assert pruned == exact == {"doc_0007"}
+
+    # a term present nowhere prunes to zero shards and answers empty
+    assert search.surviving_shards(idx, "qqqxyzzy") == []
+    assert search.query_suffix_index(idx, "qqqxyzzy").count() == 0
+
+    # short terms cannot route (no trigram) — exact fallback, full fan-out
+    assert search.surviving_shards(idx, "co") is None
+    with_co = {r["doc_id"]
+               for r in search.query_suffix_index(idx, "co").collect()}
+    assert len(with_co) == 240  # 'co' in 'common' everywhere
+
+    # common term: every shard survives, answer unchanged
+    keep_common = search.surviving_shards(idx, "filler")
+    assert keep_common is not None and len(keep_common) == n_shards
+
+
+def test_suffix_query_reads_legacy_index_without_filter(spark, images_small):
+    """An index persisted before tri_filter existed must still answer via
+    the full fan-out (routing disabled, never wrong)."""
+    idx = search.build_suffix_index(images_small, "image_id", "caption") \
+        .drop("tri_filter").cache()
+    via_index = {r["doc_id"]
+                 for r in search.query_suffix_index(idx, "tiger").collect()}
+    via_scan = {r["image_id"]
+                for r in search.search_contains(images_small, "tiger")
+                .select("image_id").collect()}
+    assert via_index == via_scan
+
+
 def test_suffix_probe_heavy_term_is_vectorized(spark):
     """A term occurring ~10⁵ times inside ONE shard must not trigger a
     per-occurrence Python walk: the probe is two binary searches plus one
