@@ -173,9 +173,8 @@ def build_suffix_index(df: DataFrame, id_col: str = "image_id",
         total_bytes = df.select(
             F.sum(F.octet_length(F.col(text_col).cast("string"))).alias("b")
         ).collect()[0]["b"] or 0
-        by_volume = -(-int(total_bytes) // target_shard_bytes)  # ceil
-        shards = max(df.sparkSession.sparkContext.defaultParallelism,
-                     4, by_volume)
+        shards = volume_shards(df.sparkSession, total_bytes,
+                               target_shard_bytes)
 
     sharded = df.select(
         (F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int")
@@ -259,6 +258,50 @@ def surviving_shards(index: DataFrame, term: str,
     rows = index.select("shard_id", "tri_filter").filter(pred) \
         .select("shard_id").collect()
     return [r["shard_id"] for r in rows]
+
+
+def reconstruct_docs(index: DataFrame) -> DataFrame:
+    """(doc_id, text) exploded back out of a persisted SA index — the exact
+    inverse of the build's concatenation (offsets delimit each doc; the
+    trailing SEP per doc is stripped). Makes the index self-contained: a
+    rebuild (e.g. after many small appends accreted many small shards)
+    needs no source table."""
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out: list[str] = []
+            texts: list[str] = []
+            for concat, offsets, doc_ids in zip(
+                    pdf["concat"], pdf["offsets"], pdf["doc_ids"]):
+                offs = list(offsets) + [len(concat)]
+                for i, d in enumerate(doc_ids):
+                    ids_out.append(d)
+                    texts.append(concat[offs[i]: offs[i + 1] - 1])
+            yield pd.DataFrame({"doc_id": pd.array(ids_out, dtype="string"),
+                                "text": pd.array(texts, dtype="string")})
+
+    return index.select("concat", "offsets", "doc_ids").mapInPandas(
+        explode, schema="doc_id string, text string")
+
+
+def volume_shards(spark, total_bytes: int,
+                  target_shard_bytes: int = 256 << 20) -> int:
+    """The volume-derived shard count (see build_suffix_index's sizing
+    rationale) — exposed so maintenance can compare it to the actual
+    shard count of an append-accreted index."""
+    by_volume = -(-int(total_bytes) // target_shard_bytes)  # ceil
+    return max(spark.sparkContext.defaultParallelism, 4, by_volume)
+
+
+def rebuild_suffix_index(store, name: str,
+                         target_shard_bytes: int = 256 << 20) -> None:
+    """Compact an over-sharded SA stage: reconstruct the docs from the
+    index's own rows, rebuild at the volume-derived shard count, and
+    atomically replace the stage (StageStore.write's rename-aside swap).
+    The reconstruction is materialized BEFORE the overwrite so the write
+    never reads the files it is replacing."""
+    docs = reconstruct_docs(store.read(name)).localCheckpoint()
+    store.write(name, build_suffix_index(
+        docs, "doc_id", "text", target_shard_bytes=target_shard_bytes))
 
 
 def query_suffix_index(index: DataFrame, term: str,

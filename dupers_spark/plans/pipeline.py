@@ -171,6 +171,96 @@ def compact_stage(spark: SparkSession, path: str,
     return {"files_before": len(files), "files_after": len(after), "rows": rows}
 
 
+def _stage_file_stats(path: str) -> tuple[int, int]:
+    """(parquet file count, partition-dir count) for a parquet stage dir."""
+    import glob
+
+    files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True) if os.path.isfile(f)]
+    part_dirs = {os.path.dirname(os.path.relpath(f, path)) for f in files
+                 if "=" in os.path.dirname(os.path.relpath(f, path))}
+    return len(files), len(part_dirs)
+
+
+_SA_COLUMNS = {"shard_id", "concat", "sa", "doc_ids", "offsets"}
+
+
+def maintain_warehouse(spark: SparkSession, cfg,
+                       file_factor: int = 8, sa_factor: int = 4,
+                       target_shard_bytes: int = 256 << 20,
+                       target_file_bytes: int = 128 * 1024 * 1024,
+                       ) -> list[dict]:
+    """The automated compaction policy — appends may accrete files without
+    bound (every streaming batch adds ≈1 file per touched kb partition,
+    ingest.py; every SA append adds shards), and until round 5 nothing
+    triggered the existing compaction operators. This walks the warehouse
+    and acts only where a threshold is crossed:
+
+      * any parquet stage whose data-file count exceeds
+        ``file_factor × max(1, partition-dir count)`` is rewritten in place
+        by :func:`compact_stage` (partition layout preserved, rename-aside
+        crash-safe swap);
+      * a suffix-array stage (recognized by its schema) whose shard count
+        exceeds ``sa_factor ×`` its volume-derived count is rebuilt from
+        its own rows (:func:`~dupers_spark.operators.search.
+        rebuild_suffix_index`) — sorted shards merge back to right-sized
+        ones, queries answer identically (the fan-out/union contract).
+
+    cfg: a PipelineConfig or a bare warehouse path. Refuses while an
+    incremental append is in flight (``_INC_PENDING``) — compaction swaps
+    directories and must not interleave with appends. Returns one record
+    per stage: {stage, action: compacted|rebuilt_sa|ok, ...evidence}, so a
+    scheduler (or the streaming hook) can log what was done and why.
+    """
+    from dupers_spark.operators import search
+    from dupers_spark.sources.storage import StageStore
+
+    warehouse = getattr(cfg, "warehouse", cfg)
+    if os.path.exists(os.path.join(warehouse, "_INC_PENDING")):
+        raise ValueError(
+            "maintain_warehouse refused: incremental append in flight "
+            "(_INC_PENDING present)")
+    store = StageStore(spark, warehouse)
+    records: list[dict] = []
+    for name in sorted(os.listdir(warehouse)):
+        path = os.path.join(warehouse, name)
+        if (not os.path.isdir(path) or name.startswith("_")
+                or name.endswith((".old", ".staging", ".compact",
+                                  ".backfill"))):
+            continue
+        n_files, n_parts = _stage_file_stats(path)
+        if n_files == 0:
+            continue
+        cols = set(spark.read.parquet(path).columns)
+        if _SA_COLUMNS <= cols:
+            row = store.read(name).agg(
+                F.count("*").alias("n"),
+                F.sum(F.octet_length("concat")).alias("b")).collect()[0]
+            derived = search.volume_shards(spark, int(row["b"] or 0),
+                                           target_shard_bytes)
+            if int(row["n"]) > sa_factor * derived:
+                search.rebuild_suffix_index(store, name, target_shard_bytes)
+                records.append({"stage": name, "action": "rebuilt_sa",
+                                "shards_before": int(row["n"]),
+                                "shards_derived": derived})
+                continue
+            records.append({"stage": name, "action": "ok",
+                            "shards": int(row["n"]),
+                            "shards_derived": derived})
+            continue
+        threshold = file_factor * max(1, n_parts)
+        if n_files > threshold:
+            res = compact_stage(spark, path,
+                                target_file_bytes=target_file_bytes)
+            records.append({"stage": name, "action": "compacted",
+                            "files_before": res["files_before"],
+                            "files_after": res["files_after"]})
+        else:
+            records.append({"stage": name, "action": "ok",
+                            "files": n_files, "partitions": n_parts})
+    return records
+
+
 class DedupPipeline:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig):
         from dupers_spark.sources.storage import StageStore

@@ -87,6 +87,7 @@ def stream_near_dup_edges(
     cfg=None,
     trigger_once: bool = True,
     max_files_per_trigger: int = 4,
+    maintain_every: int | None = None,
 ) -> StreamingQuery:
     """File-source image stream → continuous caption near-dup maintenance:
     each micro-batch probes the ACCUMULATED signature index
@@ -97,6 +98,12 @@ def stream_near_dup_edges(
     full build. This is dupers' incremental `up` running continuously; the
     edge log is consumed by connected_components (which dedups pairs, so
     foreachBatch's at-least-once parquet appends on retry are harmless).
+
+    maintain_every: after every Nth batch, run the warehouse compaction
+    policy (plans.pipeline.maintain_warehouse) over this stream's stage
+    dirs — the appends here accrete ≈1 file per touched kb partition per
+    batch, and a long-horizon stream needs the merge to be automatic, not
+    an operator's chore.
     """
     import os
 
@@ -166,6 +173,10 @@ def stream_near_dup_edges(
             .write.mode("append").partitionBy("kb").parquet(bucket_dir)
         sigs_out.select("rep_id", "shingles", "bands") \
             .write.mode("append").parquet(sig_dir)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            from dupers_spark.plans.pipeline import maintain_warehouse
+
+            maintain_warehouse(sb, warehouse)
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -183,6 +194,7 @@ def stream_pipeline_appends(
     checkpoint_dir: str,
     trigger_once: bool = True,
     max_files_per_trigger: int = 4,
+    maintain_every: int | None = None,
 ) -> StreamingQuery:
     """Continuous FULL-pipeline maintenance: each micro-batch of new images
     runs ``DedupPipeline.run_incremental`` against the completed warehouse
@@ -200,8 +212,16 @@ def stream_pipeline_appends(
     double-appending; recover with a full ``run()`` over the union, which
     clears the sentinel. This is deliberate: loud stop + rebuild beats
     silent duplicate signatures/edges.
+
+    maintain_every: run ``maintain_warehouse`` after every Nth batch — the
+    automated compaction hook that keeps a long-horizon stream's file and
+    shard counts bounded (each append adds ≈1 file per touched kb
+    partition; nothing else ever merges them). It runs AFTER
+    run_incremental releases the append sentinel, inside the same
+    single-threaded foreachBatch, so it can never interleave with an
+    append on this stream.
     """
-    from dupers_spark.plans.pipeline import DedupPipeline
+    from dupers_spark.plans.pipeline import DedupPipeline, maintain_warehouse
 
     stream = (
         spark.readStream.schema(IMAGES_SCHEMA)
@@ -213,6 +233,8 @@ def stream_pipeline_appends(
         if not batch.take(1):  # empty trigger — nothing to append
             return
         DedupPipeline(batch.sparkSession, cfg).run_incremental(batch)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            maintain_warehouse(batch.sparkSession, cfg)
 
     writer = (
         stream.writeStream.foreachBatch(process)

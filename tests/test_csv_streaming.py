@@ -214,9 +214,11 @@ def test_stream_pipeline_appends_matches_full_rebuild(spark, tmp_path):
     odd.filter(quarter == 1).coalesce(1).write.parquet(in_dir + "/q=a")
     odd.filter(quarter == 3).coalesce(1).write.mode("append").parquet(
         in_dir + "/q=b")
+    # maintain_every=1: the automated compaction hook runs after every
+    # batch — the stream must stay correct THROUGH compaction swaps
     q = ingest.stream_pipeline_appends(
         spark, in_dir + "/q=*", cfg, str(tmp_path / "ckpt"),
-        max_files_per_trigger=1)
+        max_files_per_trigger=1, maintain_every=1)
     q.awaitTermination(300)
 
     got = {(r["image_id"], r["component_id"]) for r in
@@ -225,6 +227,13 @@ def test_stream_pipeline_appends_matches_full_rebuild(spark, tmp_path):
     want = {(r["image_id"], r["component_id"]) for r in
             DedupPipeline(spark, cfg_full).run(images).collect()}
     assert got == want
+    # and the hook really bounded the file counts (policy convergence)
+    from dupers_spark.plans.pipeline import _stage_file_stats, maintain_warehouse
+    rec2 = maintain_warehouse(spark, cfg)
+    assert all(r["action"] == "ok" for r in rec2)
+    for name in ("signatures", "lsh_sigs", "exact_edges"):
+        n_files, n_parts = _stage_file_stats(wh + "/" + name)
+        assert n_files <= 8 * max(1, n_parts), (name, n_files)
     images.unpersist()
 
 

@@ -1,0 +1,123 @@
+"""Automated compaction policy: a long-horizon append workload's file and
+shard counts must stay bounded WITHOUT an operator noticing them first
+(round-5 verdict item #3) — maintain_warehouse triggers compact_stage /
+suffix-array rebuild from thresholds, and answers are unchanged."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dupers_spark.operators import search
+from dupers_spark.plans.pipeline import (
+    DedupPipeline,
+    PipelineConfig,
+    _stage_file_stats,
+    maintain_warehouse,
+)
+from dupers_spark.sources import datagen
+from dupers_spark.sources.storage import StageStore
+
+
+def test_maintain_warehouse_bounds_files_and_shards(spark, tmp_path):
+    """~20 small appends accrete files in every appended stage and shards
+    in the SA index; one maintain_warehouse pass brings both under their
+    thresholds, with the cluster assignment and query answers unchanged."""
+    wh = str(tmp_path / "wh")
+    images = datagen.make_images(spark, 120).cache()
+    images.count()
+    base = images.filter(F.col("image_id") < "img_00000060")
+    cfg = PipelineConfig(warehouse=wh)
+    DedupPipeline(spark, cfg).run(base)
+
+    # the SA stage lives in the same warehouse: base build + appends
+    store = StageStore(spark, wh)
+    store.write("suffix_index",
+                search.build_suffix_index(base, "image_id", "caption"))
+
+    for i in range(20):
+        lo = 60 + 3 * i
+        batch = images.filter(
+            (F.col("image_id") >= f"img_{lo:08d}")
+            & (F.col("image_id") < f"img_{lo + 3:08d}"))
+        DedupPipeline(spark, cfg).run_incremental(batch)
+        search.append_suffix_index(store, "suffix_index", batch)
+
+    # accretion really happened: some stage is past its threshold
+    sig_files, _ = _stage_file_stats(os.path.join(wh, "signatures"))
+    assert sig_files > 8
+    n_shards_before = store.read("suffix_index").count()
+    derived = search.volume_shards(spark, 10_000)  # tiny corpus → floor
+    assert n_shards_before > 4 * derived
+
+    assign_before = {(r["image_id"], r["component_id"])
+                     for r in spark.read.parquet(
+                         os.path.join(wh, "components"))
+                     .select("image_id", "component_id").collect()}
+    hits_before = {r["doc_id"] for r in search.query_suffix_index(
+        store.read("suffix_index"), "tiger").collect()}
+
+    records = {r["stage"]: r for r in maintain_warehouse(spark, cfg)}
+
+    # the policy acted where thresholds were crossed…
+    assert records["signatures"]["action"] == "compacted"
+    assert records["suffix_index"]["action"] == "rebuilt_sa"
+    # …and every stage now sits under its bound
+    for name, rec in records.items():
+        path = os.path.join(wh, name)
+        n_files, n_parts = _stage_file_stats(path)
+        if rec["action"] != "rebuilt_sa":
+            assert n_files <= 8 * max(1, n_parts), (name, n_files, n_parts)
+    assert store.read("suffix_index").count() <= 4 * derived
+
+    # answers unchanged: same assignment, same substring hits
+    assign_after = {(r["image_id"], r["component_id"])
+                    for r in spark.read.parquet(
+                        os.path.join(wh, "components"))
+                    .select("image_id", "component_id").collect()}
+    assert assign_after == assign_before and len(assign_after) == 120
+    hits_after = {r["doc_id"] for r in search.query_suffix_index(
+        store.read("suffix_index"), "tiger").collect()}
+    scan = {r["image_id"] for r in search.search_contains(images, "tiger")
+            .select("image_id").collect()}
+    assert hits_after == hits_before == scan
+
+    # a partitioned stage keeps its layout (probe pruning survives)
+    kb_dirs = glob.glob(os.path.join(wh, "lsh_buckets", "kb=*"))
+    assert kb_dirs, "lsh_buckets lost its kb partitioning"
+
+    # the warehouse is still appendable after compaction (markers intact)
+    tail = images.filter(F.col("image_id") >= "img_00000120")
+    assert tail.count() == 0  # corpus exhausted — append an empty batch
+    DedupPipeline(spark, cfg).run_incremental(tail)
+
+
+def test_maintain_warehouse_refuses_mid_append(spark, tmp_path):
+    """Compaction swaps directories; it must refuse while an incremental
+    append window is open (the _INC_PENDING sentinel)."""
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    with open(os.path.join(wh, "_INC_PENDING"), "w") as fh:
+        fh.write("in flight")
+    with pytest.raises(ValueError, match="_INC_PENDING"):
+        maintain_warehouse(spark, wh)
+
+
+def test_maintain_warehouse_converges(spark, tmp_path):
+    """The policy must converge, not thrash: after one pass has right-sized
+    a warehouse, an immediate second pass reports ok everywhere and
+    rewrites nothing (mtime-stable files)."""
+    wh = str(tmp_path / "wh")
+    images = datagen.make_images(spark, 60)
+    DedupPipeline(spark, PipelineConfig(warehouse=wh)).run(images)
+    maintain_warehouse(spark, wh)  # first pass may merge fresh task-files
+
+    def mtimes():
+        return {f: os.path.getmtime(f) for f in glob.glob(
+            os.path.join(wh, "**", "*.parquet"), recursive=True)}
+
+    before = mtimes()
+    records = maintain_warehouse(spark, wh)
+    assert all(r["action"] == "ok" for r in records)
+    assert mtimes() == before
