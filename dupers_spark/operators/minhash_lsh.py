@@ -141,7 +141,7 @@ def band_buckets(sigs: DataFrame, cfg: LSHConfig = LSHConfig()) -> DataFrame:
 
 
 def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
-                      max_depth: int = 4):
+                      max_depth: int = 4, with_new: bool = False):
     """mapInPandas generator over (band, key, rep_id[, sig]) rows that are
     repartitioned AND sorted by (band, key): emits candidate pairs per
     bucket and dropped-bucket accounting rows in one Arrow pass.
@@ -152,6 +152,13 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
 
     radius=None (LSH banding): buckets above max_bucket are dropped with
     accounting — band keys carry no residual structure to refine on.
+
+    with_new=True (incremental probes): rows carry an ``is_new`` boolean
+    and only pairs with ≥ 1 new member are EXPANDED — old×old work inside
+    touched buckets is skipped in the kernel (O(q_new · q) per bucket, not
+    O(q²) computed-then-discarded). Star short-circuits keep only edges
+    touching a new member; old members are already mutually connected by
+    the old build's edges, so cluster recall is unchanged.
 
     radius=r (Hamming pigeonhole, sig column required): an oversized
     (blk, val) bucket is NOT dropped — its members are re-pigeonholed on
@@ -171,7 +178,8 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
     import pandas as pd
 
     refine = radius is not None
-    in_cols = ["band", "key", "rep_id"] + (["sig"] if refine else [])
+    in_cols = ["band", "key", "rep_id"] + (["sig"] if refine else []) \
+        + (["is_new"] if with_new else [])
 
     def gen(batches):
         carry = None
@@ -203,27 +211,64 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
                 sigs_all = np.ascontiguousarray(
                     pdf["sig"].to_numpy(), dtype=np.int64
                 ).view(np.uint64)
+            flags_all = (pdf["is_new"].to_numpy(dtype=bool)
+                         if with_new else None)
             a_out, b_out, drop_rows = [], [], []
 
-            def emit_pairs(ids: np.ndarray) -> None:
-                ids = np.sort(ids)
-                ii, jj = np.triu_indices(len(ids), 1)
-                a_out.append(ids[ii])
-                b_out.append(ids[jj])
+            def emit_pairs(ids: np.ndarray, flags=None) -> None:
+                order = np.argsort(ids)
+                ids = ids[order]
+                if flags is None:
+                    ii, jj = np.triu_indices(len(ids), 1)
+                    a_out.append(ids[ii])
+                    b_out.append(ids[jj])
+                    return
+                # incremental mode: expand only pairs with ≥1 new member —
+                # new×new triu + new×old cross, O(q_new·q) not O(q²)
+                flags = flags[order]
+                new_pos = np.nonzero(flags)[0]
+                old_pos = np.nonzero(~flags)[0]
+                if not len(new_pos):
+                    return
+                ii, jj = np.triu_indices(len(new_pos), 1)
+                a_out.append(ids[new_pos[ii]])
+                b_out.append(ids[new_pos[jj]])
+                if len(old_pos):
+                    # ids are sorted: pair order = position order
+                    pi = np.repeat(new_pos, len(old_pos))
+                    pj = np.tile(old_pos, len(new_pos))
+                    a_out.append(ids[np.minimum(pi, pj)])
+                    b_out.append(ids[np.maximum(pi, pj)])
 
-            def emit_star(ids: np.ndarray) -> None:
+            def emit_star(ids: np.ndarray, flags=None) -> None:
                 # every member paired to the min id — O(m) edges in place
                 # of the O(m²) triu; used ONLY where every pair in the
                 # group is provably within the radius, so each star edge
                 # is a true pair and the group stays one component
-                ids = np.sort(ids)
+                order = np.argsort(ids)
+                ids = ids[order]
+                if flags is not None:
+                    flags = flags[order]
+                    if not flags.any():
+                        return
+                    if not flags[0]:
+                        # old root: keep only root→new edges — old members
+                        # are already connected to this root (or its old
+                        # cluster) by the old build's edges
+                        keep = ids[1:][flags[1:]]
+                        a_out.append(np.repeat(ids[:1], len(keep)))
+                        b_out.append(keep)
+                        return
+                    # new root: all edges touch the new member — keep all
                 a_out.append(np.repeat(ids[:1], len(ids) - 1))
                 b_out.append(ids[1:])
 
-            def expand(ids, usigs, remaining, depth, band0, key0):
+            def expand(ids, usigs, remaining, depth, band0, key0, flags=None):
                 m = len(ids)
+                if flags is not None and not flags.any():
+                    return  # old-only subgroup: nothing new to pair
                 if m <= max_bucket:
-                    emit_pairs(ids)
+                    emit_pairs(ids, flags)
                     return
                 if remaining.size <= radius:
                     # bit exhaustion — also the (0, radius] regime where
@@ -236,7 +281,7 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
                     # Star-connect to the min rep (cluster recall intact,
                     # verify passes each edge) + account the bucket so the
                     # non-exhaustive enumeration is never silent.
-                    emit_star(ids)
+                    emit_star(ids, flags)
                     drop_rows.append((band0, key0, int(m)))
                     return
                 if depth >= max_depth:
@@ -267,7 +312,7 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
                     # star to the min rep keeps them one component (and
                     # survives verify at dist 0) without the O(m²) triu.
                     # Accounted, since pair enumeration is not exhaustive.
-                    emit_star(ids)
+                    emit_star(ids, flags)
                     drop_rows.append((band0, key0, int(m)))
                     return
                 for chunk, order, rs_, re_ in per_chunk:
@@ -276,16 +321,21 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
                         if e2 - s2 < 2:
                             continue
                         sel = order[s2:e2]
-                        expand(ids[sel], usigs[sel], rem2, depth + 1, band0, key0)
+                        expand(ids[sel], usigs[sel], rem2, depth + 1,
+                               band0, key0,
+                               flags[sel] if flags is not None else None)
 
             for s, e in zip(starts, ends):
                 m = e - s
                 if m < 2:
                     continue
+                fl = flags_all[s:e] if with_new else None
+                if fl is not None and not fl.any():
+                    continue  # untouched bucket slice: no new member
                 band0 = int(pdf["band"].iat[s])
                 key0 = int(pdf["key"].iat[s])
                 if m <= max_bucket:
-                    emit_pairs(ids_all[s:e])
+                    emit_pairs(ids_all[s:e], fl)
                     continue
                 if not refine:
                     drop_rows.append((band0, key0, int(m)))
@@ -298,7 +348,8 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
                     [bit for bit in range(64) if not (lo <= bit < lo + w)],
                     dtype=np.int64,
                 )
-                expand(ids_all[s:e], sigs_all[s:e], remaining, 1, band0, key0)
+                expand(ids_all[s:e], sigs_all[s:e], remaining, 1,
+                       band0, key0, fl)
             frames = []
             if a_out:
                 frames.append(pd.DataFrame({
@@ -333,7 +384,9 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
 
 def grouped_pair_expansion(buckets: DataFrame, max_bucket: int,
                            radius: int | None = None,
-                           max_depth: int = 4) -> tuple[DataFrame, DataFrame]:
+                           max_depth: int = 4,
+                           new_col: str | None = None,
+                           ) -> tuple[DataFrame, DataFrame]:
     """(band, key, rep_id[, sig]) buckets → (distinct (a, b) pairs a < b,
     dropped(band, key, size)).
 
@@ -357,14 +410,23 @@ def grouped_pair_expansion(buckets: DataFrame, max_bucket: int,
     saturation ceiling: at n ≫ 2^16 reps the average (blk, val) bucket
     is n/2^16 > max_bucket, and drop-mode would shed *typical* buckets.
 
+    Incremental mode (new_col="..."): the named boolean column marks batch
+    rows; the kernel expands ONLY pairs with ≥1 new member (see
+    _gen_pairs_sorted) — per touched bucket O(q_new·q) work instead of
+    computing the O(q²) triu and discarding old×old downstream.
+
     Shared by the LSH band join and the simhash pigeonhole block join —
     both are instances of "expand pairs within bounded equi-key groups".
     """
     cols = ["band", "key", "rep_id"] + (["sig"] if radius is not None else [])
-    sorted_buckets = buckets.select(*cols).repartition("band", "key") \
+    sel = [F.col(c) for c in cols]
+    if new_col is not None:
+        sel.append(F.col(new_col).cast("boolean").alias("is_new"))
+    sorted_buckets = buckets.select(*sel).repartition("band", "key") \
         .sortWithinPartitions("band", "key", "rep_id")
     out = sorted_buckets.mapInPandas(
-        _gen_pairs_sorted(max_bucket, radius=radius, max_depth=max_depth),
+        _gen_pairs_sorted(max_bucket, radius=radius, max_depth=max_depth,
+                          with_new=new_col is not None),
         schema="a string, b string, dband int, dkey long, dsize long",
     )
     pairs = out.filter(F.col("a").isNotNull()).select("a", "b").distinct()
@@ -432,30 +494,22 @@ def incremental_bucket_pairs(index_buckets: DataFrame, new_buckets: DataFrame,
     the full build (grouped_pair_expansion), so cap semantics, Hamming
     hierarchical refinement (pass ``radius``; buckets must then carry a
     ``sig`` column) and dropped-bucket accounting are identical by
-    construction. Old×old pairs inside touched buckets are computed and
-    discarded — bounded by the bucket cap, negligible against the index
-    scan, and the price of one code path instead of three.
+    construction. An ``is_new`` flag rides along, so the kernel expands
+    ONLY new-touching pairs — old×old work inside touched buckets is
+    skipped at the source (round-5 "wrong" #3), not computed then
+    discarded.
 
     Eager: the touched-slice materialization runs one Spark job at call
-    time (it feeds the kernel and the pair filter).
+    time (it feeds the kernel).
     """
     cols = ["band", "key", "rep_id"] + (["sig"] if radius is not None else [])
     touched = new_buckets.select("band", "key").distinct()
     old_touched = prune_index_by_kb(index_buckets, new_buckets).select(*cols) \
         .join(F.broadcast(touched), ["band", "key"]).localCheckpoint()
-    combined = old_touched.unionByName(new_buckets.select(*cols))
-    all_pairs, dropped = grouped_pair_expansion(combined, max_bucket,
-                                                radius=radius)
-    new_ids = new_buckets.select("rep_id").distinct()
-    na = new_ids.withColumnRenamed("rep_id", "a").withColumn("fa", F.lit(True))
-    nb = new_ids.withColumnRenamed("rep_id", "b").withColumn("fb", F.lit(True))
-    pairs = (
-        all_pairs.join(F.broadcast(na), "a", "left")
-        .join(F.broadcast(nb), "b", "left")
-        .filter(F.col("fa").isNotNull() | F.col("fb").isNotNull())
-        .select("a", "b")
-    )
-    return pairs, dropped
+    combined = old_touched.withColumn("is_new", F.lit(False)).unionByName(
+        new_buckets.select(*cols).withColumn("is_new", F.lit(True)))
+    return grouped_pair_expansion(combined, max_bucket, radius=radius,
+                                  new_col="is_new")
 
 
 def incremental_near_dup_edges(index_sigs: DataFrame, new_images: DataFrame,

@@ -109,3 +109,54 @@ def test_incremental_matches_full_build(spark, images_small):
     inc = {r["image_id"]: r["component_id"] for r in with_singletons(
         connected_components(edges_old.unionByName(edges_inc)), ids).collect()}
     assert full == inc
+
+
+def test_incremental_kernel_expands_only_new_touching_pairs(spark):
+    """Round-5 "wrong" #3: a heavy touched bucket must cost the kernel
+    O(q_new·q), not O(q²)-then-filter. The new_col path's OUTPUT (before
+    any downstream filter) is exactly the new-touching pair set — on a
+    100-old + 2-new shared bucket that is 201 pairs, vs 5151 for the full
+    triu the old formulation computed."""
+    q_old, q_new = 100, 2
+    rows = [(0, 7, f"old_{i:04d}", False) for i in range(q_old)] + \
+           [(0, 7, f"znew_{i}", True) for i in range(q_new)]
+    buckets = spark.createDataFrame(
+        rows, "band int, key long, rep_id string, is_new boolean")
+
+    inc_pairs, dropped = ml.grouped_pair_expansion(
+        buckets, max_bucket=2000, new_col="is_new")
+    got = {(r["a"], r["b"]) for r in inc_pairs.collect()}
+    # exactly: new×new (1) + new×old (2·100)
+    assert len(got) == q_new * q_old + 1
+    assert all("znew" in a or "znew" in b for a, b in got)
+    assert dropped.count() == 0
+
+    full_pairs, _ = ml.grouped_pair_expansion(buckets, max_bucket=2000)
+    assert full_pairs.count() == (q_old + q_new) * (q_old + q_new - 1) // 2
+
+    # and through the public probe API: same set, same accounting
+    idx = buckets.filter(~F.col("is_new")).select("band", "key", "rep_id")
+    new = buckets.filter(F.col("is_new")).select("band", "key", "rep_id")
+    probe_pairs, _ = ml.incremental_bucket_pairs(idx, new, max_bucket=2000)
+    assert {(r["a"], r["b"]) for r in probe_pairs.collect()} == got
+
+
+def test_incremental_kernel_star_paths_keep_new_attached(spark):
+    """Hamming-mode short-circuits under the is_new flag: an identical-sig
+    flood bucket (star short-circuit) must still attach every NEW member
+    to the cluster while emitting no old×old edges."""
+    # 40 old + 2 new reps, all with IDENTICAL sig → pigeonhole bucket is
+    # over-cap, recursion cannot split → star short-circuit
+    sig = 0x0123456789ABCDEF
+    rows = [(0, 1, f"old_{i:04d}", sig, False) for i in range(40)] + \
+           [(0, 1, "znew_a", sig, True), (0, 1, "znew_b", sig, True)]
+    buckets = spark.createDataFrame(
+        rows, "band int, key long, rep_id string, sig long, is_new boolean")
+    pairs, dropped = ml.grouped_pair_expansion(
+        buckets, max_bucket=8, radius=3, new_col="is_new")
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # every edge touches a new member; both new members are attached
+    assert got and all("znew" in a or "znew" in b for a, b in got)
+    touched = {x for e in got for x in e if "znew" in x}
+    assert touched == {"znew_a", "znew_b"}
+    assert dropped.count() == 1  # flood bucket accounted, never silent

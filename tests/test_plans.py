@@ -120,9 +120,11 @@ def test_incremental_probe_never_shuffles_index(spark):
         plan = _plan(df)
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" not in plan
-    # the new-involving pair filter is the only join left downstream of the
-    # (already materialized) touched slice — and it must be a broadcast
-    assert "BroadcastHashJoin" in _plan(pairs)
+    # since round 6 the kernel itself keeps only new-touching pairs (the
+    # is_new flag rides through the Arrow pass), so downstream of the
+    # (already materialized) touched slice there is NO join at all — the
+    # old formulation's broadcast pair filter is gone with the O(q²) work
+    assert "Join" not in _plan(pairs)
 
 
 def test_bucket_stage_probe_prunes_kb_partitions(spark, tmp_path):
