@@ -491,12 +491,16 @@ def incremental_embedding_near_dups(
     pair participants' vectors are fetched for the exact-cosine verify.
     Because SRP keys are deterministic per vector (see :func:`srp_index`),
     (old-build pairs) ∪ (incremental pairs) equals a full rebuild's pair
-    set exactly — not just up to clustering — PROVIDED no touched bucket
-    crosses the ``max_bucket`` cap between builds: a bucket that was under
-    the cap at old-build time but exceeds it combined is dropped whole by
-    the probe (accounted in ``dropped``) while the old build's old×old
-    pairs survive, making the union a superset of a fresh rebuild near the
-    cap boundary. Callers append ``index_new`` to the index stage.
+    set exactly — not just up to clustering — whenever no bucket exceeds
+    the ``max_bucket`` cap on either side alone. A bucket that was under
+    the cap at old-build time but CROSSES it with the batch is finished
+    rather than dropped: the kernel expands its new-touching pairs
+    (O(q_new·q) ≤ cap², still a hard work bound), so the union equals the
+    uncapped expansion of that bucket and appended rows never hit a recall
+    cliff the resident rows didn't (the round-5 cap-boundary superset
+    asymmetry is gone). Only buckets where one SIDE alone exceeds the cap
+    — which the corresponding full build also drops — are dropped, with
+    accounting. Callers append ``index_new`` to the index stage.
     """
     from dupers_spark.functions.fasthash import cosine_pair_udf
     from dupers_spark.operators.minhash_lsh import incremental_bucket_pairs

@@ -338,6 +338,21 @@ def _gen_pairs_sorted(max_bucket: int, radius: int | None = None,
                     emit_pairs(ids_all[s:e], fl)
                     continue
                 if not refine:
+                    if fl is not None:
+                        # cap-CROSSING bucket (under the cap at old-build
+                        # time, over it with the batch): the old build
+                        # already expanded its old×old side under the cap;
+                        # finishing the new-touching side here costs
+                        # O(q_new·q) ≤ cap² — bounded, so the cap stays a
+                        # WORK bound instead of a recall cliff that hits
+                        # only appended rows (round-5 "wrong" #4). Buckets
+                        # where either side alone exceeds the cap are
+                        # dropped+accounted, matching what the full build
+                        # does/did with them.
+                        q_new = int(fl.sum())
+                        if q_new <= max_bucket and m - q_new <= max_bucket:
+                            emit_pairs(ids_all[s:e], fl)
+                            continue
                     drop_rows.append((band0, key0, int(m)))
                     continue
                 nblocks = radius + 1

@@ -245,3 +245,37 @@ def test_ivf_index_persist_append_query(spark, tmp_path):
         got_df._jdf.queryExecution(), "formatted")
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "centroid_id" in m.group(1)
+
+
+def test_incremental_srp_cap_boundary_equals_uncapped_union(spark):
+    """The SRP cap-boundary asymmetry (round-5 "wrong" #4) is closed: a
+    bucket under max_bucket at index-build time that crosses it with the
+    batch is FINISHED (new-touching pairs expanded, nothing dropped), so
+    (old pairs) ∪ (incremental pairs) equals the uncapped full build and
+    appended vectors are never silently unpaired at the boundary."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    d = rng.standard_normal(64).astype(np.float32)
+    d /= np.linalg.norm(d)
+    # 11 colinear vectors (cos 1.0 pairwise) → one bucket per SRP table;
+    # ids 0..4 in the index, 5..10 in the batch; cap 8 → every bucket
+    # crosses the cap when combined
+    rows = [(i, (d * (1.0 + 0.01 * i)).tolist()) for i in range(11)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old = df.filter(F.col("vec_id") < 5)
+    new = df.filter(F.col("vec_id") >= 5)
+
+    index = ann.srp_index(old).localCheckpoint()
+    old_pairs, d_old = ann.embedding_near_dup_pairs(
+        old, threshold=0.99, max_bucket=8)
+    inc_pairs, dropped, _inew = ann.incremental_embedding_near_dups(
+        index, new, threshold=0.99, max_bucket=8)
+    assert d_old.count() == 0 and dropped.count() == 0
+    union = {(r["a"], r["b"]) for r in old_pairs.collect()} | \
+        {(r["a"], r["b"]) for r in inc_pairs.collect()}
+    uncapped, _ = ann.embedding_near_dup_pairs(
+        df, threshold=0.99, max_bucket=2000)
+    want = {(r["a"], r["b"]) for r in uncapped.collect()}
+    assert union == want == {(a, b) for a in range(11) for b in range(11)
+                             if a < b}

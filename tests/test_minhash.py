@@ -160,3 +160,37 @@ def test_incremental_kernel_star_paths_keep_new_attached(spark):
     touched = {x for e in got for x in e if "znew" in x}
     assert touched == {"znew_a", "znew_b"}
     assert dropped.count() == 1  # flood bucket accounted, never silent
+
+
+def test_incremental_cap_crossing_bucket_is_finished_not_dropped(spark):
+    """Round-5 "wrong" #4 closed: a bucket UNDER the cap at old-build time
+    that crosses it with the batch must have its new-touching side
+    expanded (bounded O(q_new·q) work), not dropped — appended rows never
+    hit a recall cliff the resident rows didn't. A bucket where one side
+    ALONE exceeds the cap is dropped+accounted, matching the full build."""
+    cap = 8
+    mk = lambda n, pre, new: [(0, 7, f"{pre}_{i:03d}", new)  # noqa: E731
+                              for i in range(n)]
+    # 5 old + 6 new = 11 > cap, but both sides ≤ cap → finish the bucket
+    cross = spark.createDataFrame(
+        mk(5, "old", False) + mk(6, "znew", True),
+        "band int, key long, rep_id string, is_new boolean")
+    idx = cross.filter(~F.col("is_new")).select("band", "key", "rep_id")
+    new = cross.filter(F.col("is_new")).select("band", "key", "rep_id")
+    pairs, dropped = ml.incremental_bucket_pairs(idx, new, max_bucket=cap)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert len(got) == 6 * 5 + 15  # new×old + new×new
+    assert dropped.count() == 0
+    # union with the old build's old×old pairs = the UNCAPPED expansion
+    old_pairs, _ = ml.grouped_pair_expansion(idx, max_bucket=cap)
+    union = got | {(r["a"], r["b"]) for r in old_pairs.collect()}
+    assert len(union) == 11 * 10 // 2
+
+    # batch-side flood: 9 new > cap → dropped + accounted, no pairs
+    flood_new = spark.createDataFrame(
+        mk(9, "znew", True), "band int, key long, rep_id string, is_new boolean"
+    ).select("band", "key", "rep_id")
+    p2, d2 = ml.incremental_bucket_pairs(idx, flood_new, max_bucket=cap)
+    assert p2.count() == 0
+    drops = d2.collect()
+    assert len(drops) == 1 and drops[0]["size"] == 14
