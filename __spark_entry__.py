@@ -348,6 +348,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipeline_incremental_e2e"] = pipeline_incremental_e2e
 
+    def pipeline_mixed_incremental_e2e(spark, sf):
+        # The MULTIMODAL pipeline end-to-end with an append: images (the
+        # nested-key docs projection), a sibling AVI video corpus and a
+        # sibling WAV audio corpus run through ONE DedupPipeline
+        # (use_video/use_audio branches: decode → persisted token stage →
+        # the shared LSH index family), base = even ids of every modality,
+        # then a MIXED batch (odd images + odd videos + odd audio) arrives
+        # via run_incremental — every family's persisted index is probed
+        # and appended, and the single assignment table is re-clustered.
+        # The oracle is the union of three closed forms: the docs
+        # first-2-words grouping and the planted media group structure
+        # (per 10-row group r0=base, r1=exact/half-gain copy, r2=trimmed
+        # copy, r3..r9 singletons → root = (i//10)*10 for r≤2). The
+        # cross-modality value hash breaks if ANY family's incremental
+        # probe loses a cross-batch edge (r1 sits in the batch, r0/r2 in
+        # the base) or the mixed recluster mislabels any modality.
+        import shutil
+        import tempfile
+
+        from dupers_spark.plans.pipeline import DedupPipeline, PipelineConfig
+
+        d = _docs(spark, sf)
+        first2 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2))
+        first3 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+        images = d.select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            F.encode(first2, "utf-8").alias("bytes"),
+            first3.alias("caption"),
+            F.xxhash64(first2).alias("phash"),
+            (F.col("doc_id") % 2).alias("par"),
+        )
+        videos = datagen.make_videos(spark, 120).localCheckpoint()
+        audio = datagen.make_audio(spark, 120).localCheckpoint()
+        mpar = F.substring("media_id", -1, 1).cast("int") % 2
+        wh = os.path.join(tempfile.gettempdir(), "dupers_mixed_e2e_wh",
+                          sf.strip("/").replace("/", "_"))
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cfg = PipelineConfig(warehouse=wh, fast=True, use_video=True,
+                             use_audio=True, video_every_n=1)
+        DedupPipeline(spark, cfg).run(
+            images.filter(F.col("par") == 0).drop("par"),
+            videos.filter(mpar == 0), audio.filter(mpar == 0))
+        return DedupPipeline(spark, cfg).run_incremental(
+            images.filter(F.col("par") == 1).drop("par"),
+            videos.filter(mpar == 1), audio.filter(mpar == 1),
+        ).select("image_id", "component_id")
+
+    q["pipeline_mixed_incremental_e2e"] = pipeline_mixed_incremental_e2e
+
     def incremental_lsh_components(spark, sf):
         # Append-batch near-dup probe value-checked end-to-end: docs split
         # by doc_id parity; the even half is the "existing corpus" (full
@@ -967,6 +1017,30 @@ def oracle_sql() -> dict[str, str]:
         grp AS (SELECT k, min(image_id) AS root FROM s GROUP BY k)
         SELECT s.image_id, grp.root AS component_id
         FROM s JOIN grp USING (k)
+    """
+
+    # the mixed multimodal assignment = docs grouping ∪ the two planted
+    # media closed forms (same per-10-row group structure as the
+    # video/audio engine oracles)
+    o["pipeline_mixed_incremental_e2e"] = """
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                 array_to_string((string_split(text, ' '))[1:2], ' ') AS k
+          FROM documents),
+        grp AS (SELECT k, min(image_id) AS root FROM s GROUP BY k),
+        med AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, 120))
+        SELECT s.image_id, grp.root AS component_id
+        FROM s JOIN grp USING (k)
+        UNION ALL
+        SELECT printf('vid_%08d', i),
+               printf('vid_%08d',
+                      CASE WHEN i % 10 <= 2 THEN (i // 10) * 10 ELSE i END)
+        FROM med
+        UNION ALL
+        SELECT printf('aud_%08d', i),
+               printf('aud_%08d',
+                      CASE WHEN i % 10 <= 2 THEN (i // 10) * 10 ELSE i END)
+        FROM med
     """
 
     o["incremental_lsh_components"] = """

@@ -69,6 +69,20 @@ class PipelineConfig:
     phash_radius: int = 3
     use_phash: bool = True
     use_captions: bool = True
+    # optional multimodal branches over SIBLING media corpora (FIXTURES.md
+    # §A conventions): videos/audio tables of (media_id, bytes, …) passed
+    # alongside the image table to run()/run_incremental(). Each decodes to
+    # a token sequence (frame phashes / windowed audio fingerprints) and
+    # runs the SAME persisted-index LSH machinery as captions — token,
+    # signature and band-bucket stages, incremental probes and appends
+    # included. One engine, every modality, one assignment table.
+    use_video: bool = False
+    use_audio: bool = False
+    media_lsh: ml.LSHConfig = field(
+        default_factory=lambda: ml.LSHConfig(shingle_k=2))
+    video_every_n: int = 30     # frame sampling stride (video.py rationale)
+    audio_win: int = 1024       # fingerprint window (audio.py rationale)
+    audio_bands: int = 16
     # fast=True: trust the stored phash column (dupers -fast,
     # docs/README.md:179-194). fast=False: decode every payload and
     # recompute perceptual features (dupers normal mode, dupe.go:129-157),
@@ -341,17 +355,56 @@ class DedupPipeline:
             return self._read_stage(name)
         return self._write_stage(name, build(), partition_by=partition_by)
 
-    def _bucket_frame(self, kind: str, source: DataFrame) -> DataFrame:
+    def _bucket_frame(self, kind: str, source: DataFrame,
+                      lshcfg: ml.LSHConfig | None = None) -> DataFrame:
         """The ONE definition of the bucket-index layout — full build,
         backfill and per-batch append all route here so they can never
         diverge: band/block rows + kb partition column, repartition("kb")
         so every write lands ≈1 file per touched kb partition (appends
-        included; compact_stage handles long-horizon file accretion)."""
-        if kind == "lsh_buckets":
-            rows = ml.band_buckets(source, self.cfg.lsh)
+        included; maintain_warehouse handles long-horizon file accretion).
+        kind '*lsh_buckets' covers the caption family AND the media-token
+        families (same banding, per-family LSH config)."""
+        if kind.endswith("lsh_buckets"):
+            rows = ml.band_buckets(source, lshcfg or self.cfg.lsh)
         else:  # phash_blocks
             rows = sh.sig_blocks(source, self.cfg.phash_radius)
         return ml.with_kb(rows).repartition("kb")
+
+    def _lsh_family(self, prefix: str, tokens: DataFrame,
+                    lshcfg: ml.LSHConfig, id_col: str) -> DataFrame:
+        """Build the three-stage LSH index family over an (id, caption)
+        token frame → the family's edge stage. prefix '' is the caption
+        engine (legacy stage names); 'video_'/'audio_' are the media
+        branches — identical machinery, identical resume/append contract.
+        """
+        def build_sigs():
+            # core-proportional repartition before the Arrow signature
+            # kernel (AQE coalesces the tiny collapse shuffle and the
+            # kernel would inherit ~4 tasks); eager checkpoint because
+            # grouped feeds both the kernel and the token join-back
+            par = tokens.sparkSession.sparkContext.defaultParallelism * 2
+            grouped = ml.collapse_groups(tokens, id_col).repartition(par) \
+                .localCheckpoint()
+            s = ml.signatures(grouped.select("rep_id", "caption"), lshcfg)
+            return s.join(grouped, "rep_id")  # + caption (star join key)
+
+        sigs = self._stage(f"{prefix}lsh_sigs", build_sigs)
+
+        buckets = self._stage(
+            f"{prefix}lsh_buckets",
+            lambda: self._bucket_frame(f"{prefix}lsh_buckets", sigs, lshcfg),
+            partition_by=["kb"])
+
+        def build_edges():
+            star = ml.star_edges(tokens, sigs.select("rep_id", "caption"),
+                                 id_col)
+            pairs, dropped = ml.candidate_pairs(buckets, lshcfg)
+            verified = ml.verify_pairs(pairs, sigs, lshcfg)
+            self.metrics.append({"stage": f"{prefix}lsh_dropped_buckets",
+                                 "rows": dropped.count(), "seconds": 0.0})
+            return star.unionByName(verified.select("a", "b"))
+
+        return self._stage(f"{prefix}lsh_edges", build_edges)
 
     def _signature_frame(self, images: DataFrame,
                          features: DataFrame | None = None) -> DataFrame:
@@ -385,8 +438,27 @@ class DedupPipeline:
             .join(images.select("image_id", "caption"), "image_id")
         )
 
+    def _media_fp(self, media: DataFrame) -> str:
+        """Identity fingerprint for a sibling media corpus (media_id +
+        payload length) — folded into the resume marker so a rerun against
+        different media rebuilds instead of silently reusing stages."""
+        row = media.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr(
+                "bit_xor(xxhash64(media_id, length(bytes)))"), F.lit(0)
+            ).alias("h")).collect()[0]
+        return f"{row['n']}:{row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
+
+    def _require_media(self, videos, audio) -> None:
+        if self.cfg.use_video and videos is None:
+            raise ValueError("cfg.use_video=True needs a videos frame")
+        if self.cfg.use_audio and audio is None:
+            raise ValueError("cfg.use_audio=True needs an audio frame")
+
     # ------------------------------------------------------------- stages
-    def run(self, images: DataFrame) -> DataFrame:
+    def run(self, images: DataFrame, videos: DataFrame | None = None,
+            audio: DataFrame | None = None) -> DataFrame:
+        self._require_media(videos, audio)
         # a leftover _INC_PENDING means a previous run_incremental crashed
         # between its first append and its marker refresh: stages may hold a
         # half-applied batch while markers still describe the pre-batch
@@ -417,6 +489,10 @@ class DedupPipeline:
             F.coalesce(F.expr(fp_expr), F.lit(0)).alias("h"),
         ).collect()[0]
         self._input_fp = f"{fp_row['n']}:{fp_row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
+        if self.cfg.use_video:
+            self._input_fp += f":v{self._media_fp(videos)}"
+        if self.cfg.use_audio:
+            self._input_fp += f":a{self._media_fp(audio)}"
 
         if self.cfg.fast:
             sigs = self._stage(
@@ -441,45 +517,36 @@ class DedupPipeline:
         edge_frames.append(exact_edges)
 
         if self.cfg.use_captions:
-            caps = sigs.select("image_id", "caption")
-
             # the caption near-dup INDEX (one rep per distinct caption +
-            # its minhash signature/bands) is a stage of its own so
+            # its minhash signature/bands, plus the kb-partitioned
+            # band-bucket stage) is a stage family of its own so
             # run_incremental can probe and append to it without ever
             # re-signaturing the corpus
-            def build_lsh_sigs():
-                # core-proportional repartition before the Arrow signature
-                # kernel (AQE coalesces the tiny collapse shuffle and the
-                # kernel would inherit ~4 tasks); eager checkpoint because
-                # grouped feeds both the kernel and the caption join-back
-                par = caps.sparkSession.sparkContext.defaultParallelism * 2
-                grouped = ml.collapse_groups(caps).repartition(par) \
-                    .localCheckpoint()
-                s = ml.signatures(grouped.select("rep_id", "caption"),
-                                  self.cfg.lsh)
-                return s.join(grouped, "rep_id")  # + caption (star join key)
+            edge_frames.append(self._lsh_family(
+                "", sigs.select("image_id", "caption"), self.cfg.lsh,
+                "image_id"))
 
-            lsh_sigs = self._stage("lsh_sigs", build_lsh_sigs)
+        # media branches: decode → persisted token stage → the SAME LSH
+        # family as captions (own prefix, media_lsh config). The decode is
+        # the expensive part, so the token table is a stage of its own —
+        # resumes and appends never re-decode the corpus.
+        if self.cfg.use_video:
+            from dupers_spark.operators import video as vo
 
-            # the band-bucket index at rest: the one posexplode of lsh_sigs,
-            # materialized ONCE and kb-partitioned, so both the full edge
-            # build below and every future append-batch probe scan a skinny
-            # precomputed stage instead of re-deriving bands × |reps| rows.
-            # repartition("kb") → ≈1 file per kb partition per write.
-            lsh_buckets = self._stage(
-                "lsh_buckets",
-                lambda: self._bucket_frame("lsh_buckets", lsh_sigs),
-                partition_by=["kb"])
+            vtok = self._stage(
+                "video_tokens",
+                lambda: vo.video_token_table(videos, self.cfg.video_every_n))
+            edge_frames.append(self._lsh_family(
+                "video_", vtok, self.cfg.media_lsh, "media_id"))
+        if self.cfg.use_audio:
+            from dupers_spark.operators import audio as ao
 
-            def build_lsh():
-                star = ml.star_edges(caps, lsh_sigs.select("rep_id", "caption"))
-                pairs, dropped = ml.candidate_pairs(lsh_buckets, self.cfg.lsh)
-                verified = ml.verify_pairs(pairs, lsh_sigs, self.cfg.lsh)
-                self.metrics.append({"stage": "lsh_dropped_buckets",
-                                     "rows": dropped.count(), "seconds": 0.0})
-                return star.unionByName(verified.select("a", "b"))
-
-            edge_frames.append(self._stage("lsh_edges", build_lsh))
+            atok = self._stage(
+                "audio_tokens",
+                lambda: ao.audio_token_table(audio, self.cfg.audio_win,
+                                             self.cfg.audio_bands))
+            edge_frames.append(self._lsh_family(
+                "audio_", atok, self.cfg.media_lsh, "media_id"))
 
         if self.cfg.use_phash:
             pimg = sigs.select("image_id", "phash").filter(
@@ -521,12 +588,23 @@ class DedupPipeline:
         for e in edge_frames[1:]:
             all_edges = all_edges.unionByName(e)
 
+        # total assignment covers every modality: image ids + the media
+        # corpora's ids (including undecodable payloads — they cluster as
+        # singletons rather than vanishing)
+        all_ids = sigs.select("image_id")
+        if self.cfg.use_video:
+            all_ids = all_ids.unionByName(
+                videos.select(F.col("media_id").alias("image_id")))
+        if self.cfg.use_audio:
+            all_ids = all_ids.unionByName(
+                audio.select(F.col("media_id").alias("image_id")))
+
         # cb-partitioned (identity-partition layout) so run_incremental can
         # relabel by overwriting ONLY the partitions an append touches
         comps = self._stage(
             "components",
             lambda: with_cb(with_singletons(
-                connected_components(all_edges), sigs.select("image_id")
+                connected_components(all_edges), all_ids
             )),
             partition_by=["cb"],
         )
@@ -560,7 +638,9 @@ class DedupPipeline:
         self._force_rebuild = False
         return comps.select("image_id", "component_id")
 
-    def run_incremental(self, new_images: DataFrame) -> DataFrame:
+    def run_incremental(self, new_images: DataFrame,
+                        new_videos: DataFrame | None = None,
+                        new_audio: DataFrame | None = None) -> DataFrame:
         """Append-batch update of a COMPLETED warehouse — dupers' `up`
         semantics at near-dup granularity: the existing corpus is never
         re-read, re-hashed, or re-signatured.
@@ -605,6 +685,12 @@ class DedupPipeline:
             needed += ["lsh_sigs", "lsh_edges"]
         if self.cfg.use_phash:
             needed += ["phash_reps", "phash_edges"]
+        if self.cfg.use_video:
+            needed += ["video_tokens", "video_lsh_sigs", "video_lsh_edges",
+                       "video_lsh_buckets"]
+        if self.cfg.use_audio:
+            needed += ["audio_tokens", "audio_lsh_sigs", "audio_lsh_edges",
+                       "audio_lsh_buckets"]
         for name in needed:
             if not self.store.exists(name):
                 raise ValueError(
@@ -732,6 +818,48 @@ class DedupPipeline:
                 metric("inc_lsh_edges", n_lsh, t0)
                 new_edge_frames.append(lsh_inc)
 
+            # media branches: decode ONLY the batch, probe the persisted
+            # family stages exactly like captions (kb-pruned bucket scan,
+            # participant-only verify), stage the append rows
+            media_appends: list[tuple] = []
+
+            def probe_media(prefix: str, batch_tokens: DataFrame) -> None:
+                t0m = time.time()
+                fam_sigs = self._read_stage(f"{prefix}lsh_sigs")
+                m_inc, _mv, m_drop, m_sigs_new = \
+                    ml.incremental_near_dup_edges(
+                        fam_sigs.select("rep_id", "shingles", "bands"),
+                        batch_tokens, self.cfg.media_lsh, id_col="media_id",
+                        index_buckets=self._read_stage(
+                            f"{prefix}lsh_buckets"))
+                m_inc = m_inc.localCheckpoint()
+                tok_map = ml.collapse_groups(batch_tokens, "media_id")
+                sig_rows = m_sigs_new.join(tok_map, "rep_id") \
+                    .select(*fam_sigs.columns).localCheckpoint()
+                bucket_rows = self._bucket_frame(
+                    f"{prefix}lsh_buckets", m_sigs_new,
+                    self.cfg.media_lsh).localCheckpoint()
+                n_m = m_inc.count()
+                self.metrics.append(
+                    {"stage": f"inc_{prefix}lsh_dropped_buckets",
+                     "rows": m_drop.count(), "seconds": 0.0})
+                metric(f"inc_{prefix}lsh_edges", n_m, t0m)
+                new_edge_frames.append(m_inc)
+                media_appends.append(
+                    (prefix, batch_tokens, sig_rows, bucket_rows, m_inc, n_m))
+
+            if self.cfg.use_video and new_videos is not None:
+                from dupers_spark.operators import video as vo
+
+                probe_media("video_", vo.video_token_table(
+                    new_videos, self.cfg.video_every_n).localCheckpoint())
+            if self.cfg.use_audio and new_audio is not None:
+                from dupers_spark.operators import audio as ao
+
+                probe_media("audio_", ao.audio_token_table(
+                    new_audio, self.cfg.audio_win,
+                    self.cfg.audio_bands).localCheckpoint())
+
             if self.cfg.use_phash:
                 t0 = time.time()
                 reps_stage = self._read_stage("phash_reps")
@@ -768,9 +896,16 @@ class DedupPipeline:
             new_edges_all = new_edge_frames[0]
             for e in new_edge_frames[1:]:
                 new_edges_all = new_edges_all.unionByName(e)
+            batch_ids = bsigs.select("image_id")
+            if self.cfg.use_video and new_videos is not None:
+                batch_ids = batch_ids.unionByName(
+                    new_videos.select(F.col("media_id").alias("image_id")))
+            if self.cfg.use_audio and new_audio is not None:
+                batch_ids = batch_ids.unionByName(
+                    new_audio.select(F.col("media_id").alias("image_id")))
             relabel, new_assign = incremental_components_delta(
                 old_assign.select("image_id", "component_id"),
-                new_edges_all, bsigs.select("image_id"))
+                new_edges_all, batch_ids)
             new_assign = with_cb(new_assign).localCheckpoint()
             touched_cbs = sorted(
                 {r["cb"] for r in old_assign
@@ -807,6 +942,17 @@ class DedupPipeline:
             for st in ("phash_reps", "phash_blocks"):
                 lineage_append(st)
             lineage_append("phash_edges", n_ph)
+        for prefix, tok_rows, sig_rows, bucket_rows, m_inc, n_m \
+                in media_appends:
+            self.store.append(f"{prefix}tokens", tok_rows)
+            self.store.append(f"{prefix}lsh_sigs", sig_rows)
+            self.store.append(f"{prefix}lsh_buckets", bucket_rows,
+                              partition_by=["kb"])
+            self.store.append(f"{prefix}lsh_edges", m_inc)
+            for st in (f"{prefix}tokens", f"{prefix}lsh_sigs",
+                       f"{prefix}lsh_buckets"):
+                lineage_append(st)
+            lineage_append(f"{prefix}lsh_edges", n_m)
         self.store.append("signatures", bsigs)
         lineage_append("signatures")
         metric("inc_append_window", -1, t0)

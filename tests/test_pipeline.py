@@ -347,3 +347,59 @@ def test_run_incremental_empty_batch_is_noop(spark, images):
                  for r in DedupPipeline(spark, cfg).run_incremental(empty)
                  .collect()}
         assert after == before
+
+
+def test_mixed_multimodal_pipeline_incremental_matches_rebuild(spark):
+    """use_video/use_audio branches: one pipeline over images + sibling AVI
+    and WAV corpora (FIXTURES.md §A conventions). Base = even ids of every
+    modality, then a MIXED append batch — every modality's persisted token
+    /signature/bucket stages must be probed and appended (never re-decoded
+    or re-signatured), and the single cross-modality assignment must equal
+    a full rebuild over everything (cross-batch media copies r1 straddle
+    the split)."""
+    import glob
+
+    images = datagen.make_images(spark, 60).cache()
+    videos = datagen.make_videos(spark, 40).cache()
+    audio = datagen.make_audio(spark, 40).cache()
+    for df in (images, videos, audio):
+        df.count()
+    par_i = F.substring("image_id", -1, 1).cast("int") % 2
+    par_m = F.substring("media_id", -1, 1).cast("int") % 2
+    with tempfile.TemporaryDirectory() as td:
+        cfg = PipelineConfig(warehouse=os.path.join(td, "wh"),
+                             use_video=True, use_audio=True, video_every_n=1)
+        DedupPipeline(spark, cfg).run(
+            images.filter(par_i == 0), videos.filter(par_m == 0),
+            audio.filter(par_m == 0))
+        tok_before = {f: os.path.getmtime(f) for f in glob.glob(
+            os.path.join(td, "wh", "video_tokens", "*.parquet"))}
+        p2 = DedupPipeline(spark, cfg)
+        comps = p2.run_incremental(
+            images.filter(par_i == 1), videos.filter(par_m == 1),
+            audio.filter(par_m == 1))
+        got = {(r["image_id"], r["component_id"]) for r in comps.collect()}
+
+        cfg_full = PipelineConfig(warehouse=os.path.join(td, "wh_full"),
+                                  use_video=True, use_audio=True,
+                                  video_every_n=1)
+        want = {(r["image_id"], r["component_id"]) for r in
+                DedupPipeline(spark, cfg_full).run(images, videos, audio)
+                .collect()}
+        assert got == want and len(got) == 140
+
+        # appended, never rebuilt: the base's token files are untouched
+        for f, mt in tok_before.items():
+            assert os.path.getmtime(f) == mt
+        # the batch landed as APPENDS in every media stage family
+        lin = {r["stage"] for r in spark.read.parquet(
+            os.path.join(td, "wh", "lineage")).collect()}
+        for st in ("video_tokens", "video_lsh_sigs", "video_lsh_buckets",
+                   "video_lsh_edges", "audio_tokens", "audio_lsh_sigs",
+                   "audio_lsh_buckets", "audio_lsh_edges"):
+            assert f"{st}+append" in lin, st
+        # media branches demand their corpora
+        with pytest.raises(ValueError, match="needs a videos frame"):
+            DedupPipeline(spark, cfg_full).run(images)
+    for df in (images, videos, audio):
+        df.unpersist()
