@@ -90,3 +90,59 @@ def test_iceberg_smoke_script_parquet_fallback(spark, tmp_path):
     store.drop("smoke")
     store.drop("smoke_p")
     assert not store.exists("smoke") and not store.exists("smoke_p")
+
+
+def test_iceberg_smoke_real_jars(spark, tmp_path):
+    """The REAL Iceberg branch, end-to-end, when the runtime ships the jars
+    (a jar-equipped cluster): CI twin of jobs/iceberg_smoke.py, so no code
+    path is exercised only by a script. Skips with a reason in this sandbox
+    (no Iceberg jars baked in — see test_iceberg_probe_is_honest).
+
+    Covers the four StageStore ops over an Iceberg catalog plus the two
+    properties the pipeline relies on for its bucket-index stages:
+    snapshot APPEND (the incremental-`up` write) and partition PRUNING of
+    a kb-partitioned read (a filtered scan must read a strict subset of
+    the table's files)."""
+    import pytest
+
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg jars absent in this runtime; the Iceberg "
+                    "branch is exercised by jobs/iceberg_smoke.py on a "
+                    "jar-equipped cluster")
+    catalog = "lake_test"
+    if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+        try:  # hadoop catalog needs no external service — conf-only setup
+            spark.conf.set(f"spark.sql.catalog.{catalog}",
+                           "org.apache.iceberg.spark.SparkCatalog")
+            spark.conf.set(f"spark.sql.catalog.{catalog}.type", "hadoop")
+            spark.conf.set(f"spark.sql.catalog.{catalog}.warehouse",
+                           str(tmp_path / "iceberg_wh"))
+        except Exception:
+            pytest.skip("Iceberg jars present but catalog confs are "
+                        "immutable in this session; run "
+                        "jobs/iceberg_smoke.py via spark-submit instead")
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.smoke")
+    store = StageStore(spark, str(tmp_path / "unused"), catalog=catalog,
+                       namespace="smoke")
+    assert store.use_iceberg is True
+
+    df = spark.range(40).selectExpr("id", "concat('kb', id % 4) AS kb")
+    store.write("buckets", df, partition_by=["kb"])
+    assert store.read("buckets").count() == 40
+    # snapshot append = the incremental-`up` write
+    store.append("buckets", df.limit(4), partition_by=["kb"])
+    assert store.read("buckets").count() == 44
+    # partition pruning: a kb-filtered scan reads a strict subset of files
+    all_files = set(store.read("buckets").inputFiles())
+    one_kb = set(store.read("buckets").filter("kb = 'kb1'").inputFiles())
+    assert one_kb and one_kb < all_files
+    # overwrite-partitions touches only the named partition's files
+    before = set(store.read("buckets").filter("kb != 'kb1'").inputFiles())
+    store.overwrite_partitions(
+        "buckets", df.filter("id % 4 = 1"), partition_by=["kb"])
+    after = set(store.read("buckets").filter("kb != 'kb1'").inputFiles())
+    assert after == before
+    store.write("buckets", df.limit(3))  # snapshot replace
+    assert store.read("buckets").count() == 3
+    store.drop("buckets")
+    assert not store.exists("buckets")
