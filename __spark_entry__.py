@@ -684,6 +684,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["video_near_dup_components"] = video_near_dup_components
 
+    def jpeg_psnr_invariant(spark, sf):
+        # The REAL baseline-JPEG codec (functions/jpegcodec.py, round 6 —
+        # replaces the fake lossy container) value-checked through the
+        # BASELINE input_hint's decoded-pixel invariant: every planted
+        # (r0 base, r2 re-encode-in-other-fmt) pair must decode comparable
+        # and meet PSNR ≥ 40 dB. With 24 groups, 8 have base bmp → r2 JPG
+        # (lossy path: DCT, quantization, Huffman, YCbCr round-trip all in
+        # the loop) and 8 have base jpg as the DECODE side; the remaining
+        # pairs are lossless (psnr inf ⇒ ok). The closed-form oracle says
+        # simply: all 24 pairs comparable and passing — any codec drift
+        # below the invariant, geometry bug, or decode failure breaks the
+        # value hash.
+        from dupers_spark.operators import multimodal as mm
+
+        images = datagen.make_images(spark, 240)
+        pairs = spark.range(24).select(
+            F.format_string("img_%08d", F.col("id") * 10).alias("a"),
+            F.format_string("img_%08d", F.col("id") * 10 + 2).alias("b"))
+        res = mm.pair_psnr(pairs, images)
+        return res.select(
+            "a", "b",
+            (F.col("pixels_comparable")
+             & (F.col("psnr_db") >= F.lit(40.0))).alias("psnr_ok"))
+
+    q["jpeg_psnr_invariant"] = jpeg_psnr_invariant
+
     def audio_wav_features(spark, sf):
         # WAV-PCM decode path value-checked: deterministic square-wave
         # clips (alternating ±A samples, 4096 samples @ 8 kHz mono 16-bit)
@@ -1258,6 +1284,16 @@ def oracle_sql() -> dict[str, str]:
                       CASE WHEN i % 10 <= 2 THEN (i // 10) * 10 ELSE i END)
                    AS component_id
         FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 120))
+    """
+
+    # the decoded-pixel invariant holds for every planted (r0, r2) pair —
+    # lossless re-encodes are exact (psnr inf) and real-JPEG legs must
+    # clear 40 dB, so the closed form is simply "all true"
+    o["jpeg_psnr_invariant"] = """
+        SELECT printf('img_%08d', i * 10) AS a,
+               printf('img_%08d', i * 10 + 2) AS b,
+               true AS psnr_ok
+        FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 24))
     """
 
     # square-wave WAV closed form: the oracle evaluates the SAME IEEE-754

@@ -124,11 +124,11 @@ def main() -> None:
         return timed(name, fn, n)
 
     # ---- input prep, OUTSIDE the clock (cluster jobs read existing tables)
-    img_path = f"/tmp/dupers_bench_images_{N_IMAGES}.parquet"
+    img_path = (f"/tmp/dupers_bench_images_v{datagen.FIXTURE_VERSION}_{N_IMAGES}.parquet")
     # the scaling bench writes the identical deterministic table (same
     # datagen, same seed) under another name — reuse it instead of
     # regenerating
-    scaling_path = f"/tmp/dupers_scaling_images_{N_IMAGES}.parquet"
+    scaling_path = (f"/tmp/dupers_scaling_images_v{datagen.FIXTURE_VERSION}_{N_IMAGES}.parquet")
     if not os.path.exists(img_path) and os.path.exists(scaling_path):
         img_path = scaling_path
     if not os.path.exists(img_path):
@@ -262,7 +262,7 @@ def main() -> None:
     # clock like the image table; cluster count is closed-form checkable
     # (truth_video_clusters) so the bench is also a correctness gate.
     n_vid = int(os.environ.get("SPARK_GRAFT_BENCH_VIDEOS", "4000"))
-    vid_path = f"/tmp/dupers_bench_videos_{n_vid}.parquet"
+    vid_path = (f"/tmp/dupers_bench_videos_v{datagen.FIXTURE_VERSION}_{n_vid}.parquet")
     if not os.path.exists(vid_path):
         t0 = time.time()
         datagen.make_videos(spark, n_vid).write.mode("overwrite") \

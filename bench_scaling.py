@@ -29,7 +29,15 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 N = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "400000"))
-INPUT = f"/tmp/dupers_scaling_images_{N}.parquet"
+# FIXTURE_VERSION keys the cache so a datagen/codec change can never
+# silently reuse stale bytes (import without pulling in pyspark)
+_DG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "dupers_spark", "sources", "datagen.py")
+with open(_DG) as _f:
+    FIXTURE_VERSION = int(
+        [ln for ln in _f if ln.startswith("FIXTURE_VERSION")][0]
+        .split("=")[1].strip())
+INPUT = f"/tmp/dupers_scaling_images_v{FIXTURE_VERSION}_{N}.parquet"
 
 JOB = r"""
 import sys, time, json

@@ -3,12 +3,13 @@
 The container has no PIL/opencv, so:
   * ``png``  — REAL minimal PNG (8-bit RGB, filter 0) via zlib + CRC chunks.
   * ``bmp``  — REAL uncompressed 24-bit BITMAPINFOHEADER BMP.
-  * ``jpg``  — DETERMINISTIC FAKE of a lossy codec (clearly marked): pixels
-    are quantized to multiples of Q=4 (max per-channel error 2 → PSNR ≈ 47 dB,
-    satisfying the ≥40 dB invariant) and stored zlib-compressed under a
-    private magic header. Real JPEG bytes raise NotImplementedError. The
-    Spark-side plumbing (binary column → pandas UDF decode → invariant
-    check) is real and tested; only the entropy-coding math is faked.
+  * ``jpg``  — REAL baseline JPEG (ITU-T T.81) via
+    ``functions/jpegcodec.py``: standard Annex-K Huffman tables, flat q=2
+    quantization (reconstruction PSNR ≈ 47 dB — the BASELINE input_hint's
+    ≥40 dB lossy invariant with headroom), fully deterministic. The
+    round-1..5 fake lossy container is gone; unsupported JPEG variants
+    (progressive/arithmetic) raise NotImplementedError and surface as
+    accounted decode_ok=False rows.
 
 All functions operate on numpy uint8 arrays of shape (h, w, 3) and are fully
 deterministic — required so that the two-parallelism benchmark is also a
@@ -22,8 +23,10 @@ import zlib
 
 import numpy as np
 
-FAKE_JPG_MAGIC = b"FJPG"  # deterministic fake lossy container (see module doc)
-JPG_QUANT = 4
+from dupers_spark.functions.jpegcodec import (
+    decode_baseline_jpeg,
+    encode_baseline_jpeg,
+)
 
 
 # ---------------------------------------------------------------- PNG (real)
@@ -110,28 +113,17 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return out
 
 
-# --------------------------------------- "jpg" (DETERMINISTIC FAKE — STUB)
+# ------------------------------------------------- JPEG (real, baseline)
 
 def encode_jpg(px: np.ndarray) -> bytes:
-    """STUB lossy codec: quantize then zlib. NOT a real JPEG (see module doc)."""
-    h, w, _ = px.shape
-    quant = (px.astype(np.int32) // JPG_QUANT * JPG_QUANT + JPG_QUANT // 2).clip(0, 255)
-    return (
-        FAKE_JPG_MAGIC
-        + struct.pack(">II", w, h)
-        + zlib.compress(quant.astype(np.uint8).tobytes(), 6)
-    )
+    """Baseline JPEG, flat q=2 — see functions/jpegcodec.py module doc."""
+    return encode_baseline_jpeg(px, qtab=2)
 
 
 def decode_jpg(data: bytes) -> np.ndarray:
-    if data[:4] != FAKE_JPG_MAGIC:
-        raise NotImplementedError(
-            "real JPEG decoding requires an image library absent from this "
-            "container; only the deterministic fake container is supported"
-        )
-    w, h = struct.unpack(">II", data[4:12])
-    raw = zlib.decompress(data[12:])
-    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    return decode_baseline_jpeg(data)
 
 
 _ENCODERS = {"png": encode_png, "bmp": encode_bmp, "jpg": encode_jpg}

@@ -1,16 +1,18 @@
-"""Pure-stdlib RIFF/AVI video container codec (uncompressed 24-bit DIB).
+"""Pure-stdlib RIFF/AVI video container codec (24-bit DIB + Motion-JPEG).
 
 The container has no ffmpeg/opencv, so — exactly like the WAV-PCM move for
-audio (multimodal._wav_features) — we support the one mainstream video
-container whose frames need no codec library: AVI with BI_RGB (biCompression
-= 0) 24-bit DIB frames ('00db' chunks). That is a REAL format every player
-reads; the layout is the public MSDN/OpenDML AVI spec (RIFF 'AVI ' → LIST
-hdrl(avih, LIST strl(strh 'vids', strf BITMAPINFOHEADER)) → LIST movi →
-idx1), and each frame's pixel payload is byte-identical to the BMP DIB
-layout already implemented in functions/imagecodec.py (bottom-up rows, BGR,
-4-byte row alignment). Compressed codecs (H.264, MJPG, …) are detected via
-biCompression/strh.fccHandler and raise ``UnsupportedVideo`` — callers
-record decode_ok=False, never silently skip.
+audio (multimodal._wav_features) — we support the mainstream video layouts
+that need no codec LIBRARY: AVI with BI_RGB (biCompression = 0) 24-bit DIB
+frames ('00db' chunks), and AVI Motion-JPEG ('MJPG' fourcc, '00dc' chunks),
+whose frames are plain baseline JPEGs decoded by functions/jpegcodec.py
+(incl. the MJPG convention of omitted DHT segments — the decoder falls back
+to the Annex-K tables). The layout is the public MSDN/OpenDML AVI spec
+(RIFF 'AVI ' → LIST hdrl(avih, LIST strl(strh 'vids', strf
+BITMAPINFOHEADER)) → LIST movi → idx1); a DIB frame's pixel payload is
+byte-identical to the BMP DIB layout in functions/imagecodec.py (bottom-up
+rows, BGR, 4-byte row alignment). Remaining compressed codecs (H.264, …)
+are detected via biCompression/strh.fccHandler and raise
+``UnsupportedVideo`` — callers record decode_ok=False, never silently skip.
 
 Reference parity: dupers treats media as opaque bytes and hashes them
 (pkg/dupe/dupe.go:129-157); this module is part of the §2.8 multimodal
@@ -63,39 +65,55 @@ def _list(fourcc: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", fourcc + payload)
 
 
-def encode_avi(frames: list[np.ndarray], fps: int = 30) -> bytes:
+MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian, the biCompression value
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 30,
+               codec: str = "DIB") -> bytes:
     """Frames (each (h, w, 3) RGB uint8, all same shape) → real AVI bytes.
 
-    Writes the standard RIFF structure including the idx1 index, so the
-    output opens in any AVI reader — used to synthesize test/benchmark
-    fixtures (the repo policy: deterministic fakes only where the MATH is
-    faked; this container is real, only its content is synthetic).
+    codec "DIB" writes uncompressed BI_RGB '00db' chunks; "MJPG" writes
+    Motion-JPEG '00dc' chunks (each frame a baseline JPEG from
+    functions/jpegcodec.py). Writes the standard RIFF structure including
+    the idx1 index, so the output opens in any AVI reader — used to
+    synthesize test/benchmark fixtures (this container is real, only its
+    content is synthetic).
     """
     if not frames:
         raise ValueError("encode_avi needs at least one frame")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError("codec must be 'DIB' or 'MJPG'")
     h, w, _ = frames[0].shape
     usec = int(round(1_000_000 / fps))
     n = len(frames)
-    frame_bytes = _pad_row(w) * h
+
+    if codec == "MJPG":
+        from dupers_spark.functions.jpegcodec import encode_baseline_jpeg
+
+        payloads = [encode_baseline_jpeg(fr) for fr in frames]
+        ctag, fcc, compression = b"00dc", b"MJPG", MJPG_FOURCC
+    else:
+        payloads = [_dib_bits(fr) for fr in frames]
+        ctag, fcc, compression = b"00db", b"DIB ", 0
+    frame_bytes = max(len(p) for p in payloads)
 
     avih = struct.pack(
         "<14I", usec, frame_bytes * fps, 0, 0x10, n, 0, 1, frame_bytes,
         w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack(
+    strh = (b"vids" + fcc + struct.pack(
         "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0xFFFFFFFF, 0)
         + struct.pack("<4H", 0, 0, w, h))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
-                       0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+                       frame_bytes, 0, 0, 0, 0)
     hdrl = _list(b"hdrl", _chunk(b"avih", avih)
                  + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
 
     movi_chunks, idx, off = [], [], 4  # offsets relative to 'movi' fourcc
-    for fr in frames:
+    for fr, bits in zip(frames, payloads):
         if fr.shape != (h, w, 3):
             raise ValueError("all frames must share one shape")
-        bits = _dib_bits(fr)
-        movi_chunks.append(_chunk(b"00db", bits))
-        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, len(bits)))
+        movi_chunks.append(_chunk(ctag, bits))
+        idx.append(struct.pack("<4sIII", ctag, 0x10, off, len(bits)))
         off += 8 + len(bits) + (len(bits) & 1)
     movi = _list(b"movi", b"".join(movi_chunks))
     idx1 = _chunk(b"idx1", b"".join(idx))
@@ -156,7 +174,11 @@ def probe_avi(data: bytes) -> dict:
         raise UnsupportedVideo("AVI without an avih header")
     if "stream_no" not in meta or "compression" not in meta:
         raise UnsupportedVideo("AVI without a 'vids' strl/strf stream header")
-    if meta["compression"] != 0 or meta.get("bit_count", 24) != 24:
+    if meta["compression"] == 0 and meta.get("bit_count", 24) == 24:
+        meta["codec"] = "DIB"
+    elif meta["compression"] == MJPG_FOURCC:
+        meta["codec"] = "MJPG"  # frames are baseline JPEGs (jpegcodec.py)
+    else:
         raise UnsupportedVideo(
             f"compressed/non-24-bit video ({meta.get('fourcc')!r}, "
             f"biCompression={meta.get('compression')}) needs a codec "
@@ -185,6 +207,20 @@ def iter_avi_frames(data: bytes, every_n: int = 1):
     handled per spec instead of miscounted."""
     meta = probe_avi(data)
     w, h = meta["width"], meta["height"]
+    if meta["codec"] == "MJPG":
+        from dupers_spark.functions.jpegcodec import decode_baseline_jpeg
+
+        def decode(chunk: bytes) -> np.ndarray:
+            try:
+                px = decode_baseline_jpeg(chunk)
+            except (ValueError, NotImplementedError) as e:
+                raise UnsupportedVideo(f"bad MJPG frame: {e}") from e
+            if px.shape != (h, w, 3):
+                raise UnsupportedVideo("MJPG frame geometry != container")
+            return px
+    else:
+        def decode(chunk: bytes) -> np.ndarray:
+            return _undib_bits(chunk, w, h)
     prefix = b"%02d" % meta["stream_no"]
     frame_no = 0
     for tag, p, n in _iter_chunks(data, 12, len(data)):
@@ -194,6 +230,6 @@ def iter_avi_frames(data: bytes, every_n: int = 1):
             if t2[:2] != prefix or t2[2:4] not in (b"db", b"dc"):
                 continue  # other streams / index droppings
             if frame_no % every_n == 0:
-                yield frame_no, _undib_bits(data[p2:p2 + n2], w, h)
+                yield frame_no, decode(data[p2:p2 + n2])
             frame_no += 1
         break

@@ -3,9 +3,9 @@ PSNR verification — the training-data-pipeline components over opaque
 ``binary`` payloads with typed metadata.
 
 All Python work is Arrow-batched ``mapInPandas`` (never per-row UDFs); the
-codecs are the pure-stdlib ones in functions/imagecodec.py (PNG/BMP real,
-"jpg" a clearly-marked deterministic fake since no image libs exist in this
-container — the Spark-side plumbing is real and tested either way).
+codecs are the pure-stdlib ones in functions/imagecodec.py — PNG/BMP real,
+JPEG real baseline (functions/jpegcodec.py); progressive/arithmetic JPEG
+variants surface as accounted decode_ok=False rows.
 
 This stage is dupers' "normal mode": re-read every payload and recompute
 its signature (pkg/dupe/dupe.go:129-157 re-hashes file content), vs the
@@ -15,9 +15,10 @@ pipelines expose the same switch (PipelineConfig.fast).
 Audio: WAV-PCM decode is REAL (stdlib ``wave`` needs no codec —
 duration/RMS/clipping/spectral-centroid features); compressed audio rows
 surface as decode_ok=False. Video: RIFF/AVI with uncompressed 24-bit DIB
-frames is REAL too (functions/videocodec.py — frame sampling, per-frame
-phash, container metadata); codec-compressed payloads (H.264, MJPG, …)
-surface as decode_ok=False. Nothing in this module is a stub anymore.
+frames AND MJPG (baseline-JPEG frames, the AVI convention) is REAL too
+(functions/videocodec.py — frame sampling, per-frame phash, container
+metadata); other codec payloads (H.264, …) surface as decode_ok=False.
+Nothing in this module is a stub anymore.
 """
 
 from __future__ import annotations

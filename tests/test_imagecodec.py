@@ -20,15 +20,17 @@ def test_lossless_roundtrip(fmt):
     assert np.array_equal(ic.decode_image(ic.encode_image(px, fmt), fmt), px)
 
 
-def test_lossy_fake_jpg_psnr():
+def test_lossy_jpg_psnr():
+    """Real baseline JPEG round-trip meets the BASELINE ≥40 dB invariant
+    even on worst-case uniform noise (flat q=2 → DCT error ≤1)."""
     px = _px(2)
     dec = ic.decode_image(ic.encode_image(px, "jpg"), "jpg")
-    assert ic.psnr(px, dec) >= 40.0  # the BASELINE invariant
+    assert ic.psnr(px, dec) >= 40.0
 
 
-def test_real_jpeg_rejected():
-    with pytest.raises(NotImplementedError):
-        ic.decode_jpg(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+def test_non_jpeg_bytes_rejected():
+    with pytest.raises(ValueError):
+        ic.decode_jpg(b"FJPG" + b"\x00" * 32)  # incl. the retired fake magic
 
 
 def test_encode_deterministic_pinned():

@@ -163,6 +163,35 @@ def test_avi_codec_roundtrip():
         vc.probe_avi(b"RIFFxxxxNOPE")
 
 
+def test_avi_mjpg_codec_roundtrip():
+    """Motion-JPEG AVIs decode for real: '00dc' chunks are baseline JPEGs
+    (functions/jpegcodec.py), probe reports codec MJPG, and per-frame
+    reconstruction meets the ≥40 dB lossy invariant. A non-MJPG compressed
+    fourcc still raises (accounted decode_ok=False upstream)."""
+    import struct
+
+    import numpy as np
+
+    from dupers_spark.functions import videocodec as vc
+    from dupers_spark.functions.imagecodec import psnr
+
+    frames = [_frame(13, i) for i in range(4)]
+    data = vc.encode_avi(frames, fps=10, codec="MJPG")
+    meta = vc.probe_avi(data)
+    assert meta["codec"] == "MJPG" and meta["fourcc"] == "MJPG"
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (32, 24, 4)
+    decoded = list(vc.iter_avi_frames(data))
+    assert [f for f, _ in decoded] == [0, 1, 2, 3]
+    for (_, px), orig in zip(decoded, frames):
+        assert px.shape == orig.shape
+        assert psnr(px, orig) >= 40.0
+    # H.264-style fourcc is still unsupported, loudly
+    h264 = data.replace(struct.pack("<I", vc.MJPG_FOURCC),
+                        b"H264").replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(NotImplementedError):
+        vc.probe_avi(h264)
+
+
 def _make_interleaved_avi(frames, fps: int = 10) -> bytes:
     """Hand-build a spec-shaped AVI the simple encoder never emits: an
     AUDIO strl FIRST in hdrl (so the video stream is stream 01), movi
