@@ -117,12 +117,6 @@ def main() -> None:
             extras[f"{name}_runs"] = [round(r[0], 3) for r in runs]
         return dt
 
-    def timed_best_of(name: str, fn, n: int) -> float:
-        """min-of-n timing with every raw run recorded — for the
-        memory-bandwidth-bound entries whose single-shot times swing 4-5×
-        with host weather on byte-identical code (see BENCH/BASELINE.md)."""
-        return timed(name, fn, n)
-
     # ---- input prep, OUTSIDE the clock (cluster jobs read existing tables)
     img_path = (f"/tmp/dupers_bench_images_v{datagen.FIXTURE_VERSION}_{N_IMAGES}.parquet")
     # the scaling bench writes the identical deterministic table (same
@@ -218,7 +212,7 @@ def main() -> None:
         probe_out["n"] = exact.probe_matches(
             sigs_idx, sigs_idx, broadcast_index=True).count()
 
-    dt = timed_best_of("probe_join", probe_once, 2)
+    dt = timed("probe_join", probe_once, 2)
     extras["probe_rows_per_sec"] = round(n_img / dt, 1)
     extras["probe_matches"] = probe_out["n"]
 
@@ -361,7 +355,7 @@ def main() -> None:
         # 3-5; cycle inflation WITHOUT steal — see BENCH/BASELINE.md), so
         # it is timed best-of-2 with both raw runs recorded: one line of
         # evidence instead of a judge session of adjudication
-        timed_best_of(
+        timed(
             f"ann_topk_np_dim512{suffix}",
             lambda: ann.brute_force_topk_np(big, probes, k=10).count(),
             2 if suffix else 1)

@@ -141,7 +141,7 @@ def _code_assign(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
 from functools import lru_cache
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=8)
 def _decode_lut(bits: bytes, vals: bytes) -> list[int]:
     """(symbol, length) lookup over a 16-bit peek window — O(1)/symbol.
 
@@ -149,7 +149,10 @@ def _decode_lut(bits: bytes, vals: bytes) -> list[int]:
     ~2× faster than numpy scalar indexing) and cached by table content:
     our encoder and the MJPG convention both use the Annex-K tables, so
     after the first decode every image hits the cache instead of paying
-    the 65536-entry build."""
+    the 65536-entry build. maxsize stays small on purpose: each LUT is a
+    65536-entry int list (~2.5 MB), and real-world optimized-Huffman
+    JPEGs ship fresh tables per image — a big cache would pin memory in
+    every executor worker without ever hitting."""
     sym = np.zeros(1 << 16, dtype=np.int32) - 1
     # pack length into the symbol word (length<<16 | symbol+1) so the hot
     # loop does ONE list lookup per Huffman symbol
@@ -370,13 +373,30 @@ def encode_baseline_jpeg(px: np.ndarray, qtab: np.ndarray | int = 2,
 
 # ------------------------------------------------------------------- decode
 
-def _peek16(seg: bytes) -> list[int]:
-    """Per-bit-position 16-bit peek values over an unstuffed entropy
-    segment (padded with 1s), as a Python list — the speculative-decode
-    table that lets the entropy loop run on plain list indexing."""
-    arr = np.frombuffer(seg + b"\xff\xff", dtype=np.uint8)
-    bits = np.unpackbits(arr)
-    win = np.lib.stride_tricks.sliding_window_view(bits, 16)
+# peek-window chunking: a Python int list costs ~36 bytes per scan BIT, so
+# materializing the whole scan at once would amplify a production-sized
+# frame (a 5 MB MJPG scan → ~1.4 GB transient) inside mapInPandas workers.
+# The decode loop instead peeks through a sliding CHUNK-bit window,
+# refilled at MCU boundaries; MARGIN bounds one MCU's worst-case bit
+# consumption (≤10 blocks/MCU per T.81 B.2.2, ≤~32 bits/symbol, 64
+# symbols/block → <21 Kbit; 2^16 leaves 3× headroom). Peak list memory is
+# ~40 MB regardless of scan size, and fixture-sized scans fit one chunk.
+_PEEK_CHUNK_BITS = 1 << 20
+_PEEK_MARGIN_BITS = 1 << 16
+
+
+def _scan_bits(seg: bytes) -> np.ndarray:
+    """Unstuffed entropy segment → per-bit uint8 array padded with 1s (the
+    16-bit peeks may run past the end)."""
+    return np.unpackbits(np.frombuffer(seg + b"\xff\xff", dtype=np.uint8))
+
+
+def _peek16(bits: np.ndarray, start: int, length: int) -> list[int]:
+    """16-bit peek values for bit positions [start, start+length), as a
+    Python list — the speculative-decode table that lets the entropy loop
+    run on plain list indexing."""
+    win = np.lib.stride_tricks.sliding_window_view(
+        bits[start:start + length + 15], 16)
     pows = (1 << np.arange(15, -1, -1)).astype(np.int64)
     return (win @ pows).tolist()
 
@@ -432,6 +452,12 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     while i < n:
         if data[i] != 0xFF:
             raise ValueError("marker expected")
+        # spec-legal 0xFF fill bytes may pad before any marker (T.81
+        # B.1.1.2) — hardware MJPG encoders actually emit them
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            raise ValueError("stream truncated inside a marker")
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -517,27 +543,32 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     for seg in scan_segs:
         if mcu_idx >= n_mcu:
             break
-        v16 = _peek16(seg)
+        bits = _scan_bits(seg)
         nbits = len(seg) * 8
+        base = 0
+        v16 = _peek16(bits, base, _PEEK_CHUNK_BITS)
         preds = [0] * len(comps)
         limit = (min(mcu_idx + restart_interval, n_mcu)
                  if restart_interval else n_mcu)
         pos = 0
         try:
             while mcu_idx < limit:
+                if pos - base > _PEEK_CHUNK_BITS - _PEEK_MARGIN_BITS:
+                    base = pos
+                    v16 = _peek16(bits, base, _PEEK_CHUNK_BITS)
                 my, mx = divmod(mcu_idx, n_mcu_x)
                 for ci, c in enumerate(scan_comps):
                     dtab, atab = comp_tabs[ci]
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             zz = [0.0] * 64
-                            e = dtab[v16[pos]]
+                            e = dtab[v16[pos - base]]
                             if e < 0:
                                 raise ValueError("invalid Huffman code")
                             pos += e >> 16
                             size = (e & 0xFFFF) - 1
                             if size:
-                                v = v16[pos] >> (16 - size)
+                                v = v16[pos - base] >> (16 - size)
                                 pos += size
                                 if v < (1 << (size - 1)):
                                     v += 1 - (1 << size)
@@ -545,7 +576,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                             zz[0] = preds[ci]
                             k = 1
                             while k < 64:
-                                e = atab[v16[pos]]
+                                e = atab[v16[pos - base]]
                                 if e < 0:
                                     raise ValueError("invalid Huffman code")
                                 pos += e >> 16
@@ -559,7 +590,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                                 k += rs >> 4
                                 if k > 63:
                                     raise ValueError("AC index overflow")
-                                v = v16[pos] >> (16 - s)
+                                v = v16[pos - base] >> (16 - s)
                                 pos += s
                                 if v < (1 << (s - 1)):
                                     v += 1 - (1 << s)

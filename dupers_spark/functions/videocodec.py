@@ -84,6 +84,9 @@ def encode_avi(frames: list[np.ndarray], fps: int = 30,
     if codec not in ("DIB", "MJPG"):
         raise ValueError("codec must be 'DIB' or 'MJPG'")
     h, w, _ = frames[0].shape
+    for fr in frames:  # validate BEFORE encoding — a mis-shaped frame must
+        if fr.shape != (h, w, 3):  # fail here, not deep in the JPEG encoder
+            raise ValueError("all frames must share one shape")
     usec = int(round(1_000_000 / fps))
     n = len(frames)
 
@@ -109,9 +112,7 @@ def encode_avi(frames: list[np.ndarray], fps: int = 30,
                  + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
 
     movi_chunks, idx, off = [], [], 4  # offsets relative to 'movi' fourcc
-    for fr, bits in zip(frames, payloads):
-        if fr.shape != (h, w, 3):
-            raise ValueError("all frames must share one shape")
+    for bits in payloads:
         movi_chunks.append(_chunk(ctag, bits))
         idx.append(struct.pack("<4sIII", ctag, 0x10, off, len(bits)))
         off += 8 + len(bits) + (len(bits) & 1)

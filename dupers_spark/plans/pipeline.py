@@ -220,20 +220,52 @@ def maintain_warehouse(spark: SparkSession, cfg,
         rebuild_suffix_index`) — sorted shards merge back to right-sized
         ones, queries answer identically (the fan-out/union contract).
 
-    cfg: a PipelineConfig or a bare warehouse path. Refuses while an
-    incremental append is in flight (``_INC_PENDING``) — compaction swaps
-    directories and must not interleave with appends. Returns one record
-    per stage: {stage, action: compacted|rebuilt_sa|ok, ...evidence}, so a
-    scheduler (or the streaming hook) can log what was done and why.
+    cfg: a PipelineConfig or a bare warehouse path. Mutual exclusion with
+    appends is TWO-WAY and symmetric (set-own-sentinel, then check the
+    other's — no interleaving lets both proceed): this function O_EXCL-
+    creates ``_MAINT_PENDING`` for its whole window and backs off if
+    ``_INC_PENDING`` exists; ``run_incremental`` creates ``_INC_PENDING``
+    and backs off if ``_MAINT_PENDING`` exists. Without the maintenance
+    sentinel, an append starting mid-compaction could write parquet files
+    into a directory compact_stage is about to rename aside and delete —
+    a silently lost batch. ``_MAINT_PENDING`` is released on normal exit
+    AND on exception (compaction's rename-aside swap is crash-healable,
+    so nothing is owed); only a hard kill leaves it behind, and then the
+    next maintain/append refuses loudly until the operator removes it.
+    Returns one record per stage: {stage, action: compacted|rebuilt_sa|ok,
+    ...evidence}, so a scheduler (or the streaming hook) can log what was
+    done and why.
     """
     from dupers_spark.operators import search
     from dupers_spark.sources.storage import StageStore
 
     warehouse = getattr(cfg, "warehouse", cfg)
-    if os.path.exists(os.path.join(warehouse, "_INC_PENDING")):
+    maint = os.path.join(warehouse, "_MAINT_PENDING")
+    try:
+        fd = os.open(maint, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
         raise ValueError(
-            "maintain_warehouse refused: incremental append in flight "
-            "(_INC_PENDING present)")
+            f"maintain_warehouse refused: {maint} exists (another "
+            "maintenance run is in flight, or one was hard-killed — "
+            "verify none is running, then delete the sentinel)") from None
+    os.write(fd, b"warehouse maintenance in flight")
+    os.close(fd)
+    try:
+        if os.path.exists(os.path.join(warehouse, "_INC_PENDING")):
+            raise ValueError(
+                "maintain_warehouse refused: incremental append in flight "
+                "(_INC_PENDING present)")
+        return _maintain_locked(spark, warehouse, file_factor, sa_factor,
+                                target_shard_bytes, target_file_bytes,
+                                StageStore, search)
+    finally:
+        if os.path.exists(maint):
+            os.remove(maint)
+
+
+def _maintain_locked(spark, warehouse, file_factor, sa_factor,
+                     target_shard_bytes, target_file_bytes,
+                     StageStore, search) -> list[dict]:
     store = StageStore(spark, warehouse)
     records: list[dict] = []
     for name in sorted(os.listdir(warehouse)):
@@ -449,16 +481,37 @@ class DedupPipeline:
             ).alias("h")).collect()[0]
         return f"{row['n']}:{row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
 
-    def _require_media(self, videos, audio) -> None:
-        if self.cfg.use_video and videos is None:
+    def _require_media(self, videos, audio,
+                       require_when_enabled: bool = True) -> None:
+        """Media-frame / flag consistency, BOTH directions: a flag without
+        its frame can't build the branch, and a frame without its flag
+        would silently drop a whole modality from the dedup output — the
+        accounted-never-silent policy demands a loud refusal instead.
+        run_incremental passes require_when_enabled=False: a batch with no
+        new videos/audio is a legal append to a media-enabled warehouse."""
+        if require_when_enabled and self.cfg.use_video and videos is None:
             raise ValueError("cfg.use_video=True needs a videos frame")
-        if self.cfg.use_audio and audio is None:
+        if require_when_enabled and self.cfg.use_audio and audio is None:
             raise ValueError("cfg.use_audio=True needs an audio frame")
+        if videos is not None and not self.cfg.use_video:
+            raise ValueError(
+                "a videos frame was provided but cfg.use_video=False — "
+                "refusing to silently drop a modality")
+        if audio is not None and not self.cfg.use_audio:
+            raise ValueError(
+                "an audio frame was provided but cfg.use_audio=False — "
+                "refusing to silently drop a modality")
 
     # ------------------------------------------------------------- stages
     def run(self, images: DataFrame, videos: DataFrame | None = None,
             audio: DataFrame | None = None) -> DataFrame:
         self._require_media(videos, audio)
+        # a full rebuild overwrites every stage; interleaving with a
+        # compaction's rename-aside swaps would corrupt both
+        if os.path.exists(os.path.join(self.cfg.warehouse, "_MAINT_PENDING")):
+            raise ValueError(
+                "run() refused: warehouse maintenance in flight "
+                "(_MAINT_PENDING present) — retry after it finishes")
         # a leftover _INC_PENDING means a previous run_incremental crashed
         # between its first append and its marker refresh: stages may hold a
         # half-applied batch while markers still describe the pre-batch
@@ -680,6 +733,8 @@ class DedupPipeline:
             half-appended stages even though markers still match the
             pre-batch input). Markers refresh LAST, inside the window.
         """
+        self._require_media(new_videos, new_audio,
+                            require_when_enabled=False)
         needed = ["signatures", "exact_edges", "components"]
         if self.cfg.use_captions:
             needed += ["lsh_sigs", "lsh_edges"]
@@ -750,6 +805,17 @@ class DedupPipeline:
                 "in-flight run_incremental to finish.") from None
         os.write(fd, b"incremental append in flight")
         os.close(fd)
+        # set-own-then-check-other's, mirroring maintain_warehouse: an
+        # append that starts while compaction is mid-swap would write
+        # files into a directory about to be renamed aside and deleted —
+        # back off (nothing appended yet, so releasing the sentinel is
+        # safe and no rebuild is owed)
+        maint = os.path.join(self.cfg.warehouse, "_MAINT_PENDING")
+        if os.path.exists(maint):
+            os.remove(pending)
+            raise ValueError(
+                "run_incremental refused: warehouse maintenance in flight "
+                "(_MAINT_PENDING present) — retry after it finishes")
 
         def metric(stage: str, rows: int, t0: float) -> None:
             self.metrics.append({"stage": stage, "rows": rows,

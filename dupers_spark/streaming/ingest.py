@@ -38,6 +38,28 @@ def _committed_parquet(path: str) -> bool:
                           recursive=True))
 
 
+def _maintain_contained(spark: SparkSession, cfg) -> None:
+    """Run maintain_warehouse but CONTAIN any exception — the hook fires
+    inside foreachBatch AFTER non-idempotent appends have committed, and
+    foreachBatch is at-least-once: letting a maintenance failure propagate
+    would make Structured Streaming replay the whole micro-batch, silently
+    double-appending rows the sentinel no longer guards. Compaction is
+    best-effort and crash-healable (rename-aside swap + heal), so a failed
+    attempt costs nothing and simply retries at the next Nth batch; the
+    failure is logged loudly, never raised."""
+    import logging
+
+    from dupers_spark.plans.pipeline import maintain_warehouse
+
+    try:
+        maintain_warehouse(spark, cfg)
+    except Exception:
+        logging.getLogger(__name__).exception(
+            "maintain_warehouse failed (contained: raising inside "
+            "foreachBatch would replay the committed append); will retry "
+            "at the next maintenance batch")
+
+
 def stream_signatures(
     spark: SparkSession,
     input_dir: str,
@@ -174,9 +196,7 @@ def stream_near_dup_edges(
         sigs_out.select("rep_id", "shingles", "bands") \
             .write.mode("append").parquet(sig_dir)
         if maintain_every and (batch_id + 1) % maintain_every == 0:
-            from dupers_spark.plans.pipeline import maintain_warehouse
-
-            maintain_warehouse(sb, warehouse)
+            _maintain_contained(sb, warehouse)
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -219,9 +239,12 @@ def stream_pipeline_appends(
     partition; nothing else ever merges them). It runs AFTER
     run_incremental releases the append sentinel, inside the same
     single-threaded foreachBatch, so it can never interleave with an
-    append on this stream.
+    append on this stream — and its failures are CONTAINED
+    (:func:`_maintain_contained`): the append is already committed, so a
+    maintenance exception must log-and-skip rather than trigger an
+    at-least-once replay that would double-append the batch.
     """
-    from dupers_spark.plans.pipeline import DedupPipeline, maintain_warehouse
+    from dupers_spark.plans.pipeline import DedupPipeline
 
     stream = (
         spark.readStream.schema(IMAGES_SCHEMA)
@@ -234,7 +257,7 @@ def stream_pipeline_appends(
             return
         DedupPipeline(batch.sparkSession, cfg).run_incremental(batch)
         if maintain_every and (batch_id + 1) % maintain_every == 0:
-            maintain_warehouse(batch.sparkSession, cfg)
+            _maintain_contained(batch.sparkSession, cfg)
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -336,3 +336,40 @@ def test_stateful_stream_first_seen_dedup(spark):
         for k in ("2", "3", "4"):
             assert re_rows[f"re_img_0000000{k}"]["dup_of"] == \
                 f"img_0000000{k}"
+
+
+def test_stream_maintenance_failure_is_contained(spark, tmp_path, monkeypatch):
+    """foreachBatch is at-least-once and pipeline appends are NOT
+    idempotent: a maintenance failure AFTER run_incremental has committed
+    must be contained (logged + retried at the next Nth batch), because
+    raising would make Structured Streaming replay the micro-batch and
+    silently double-append every row (round-6 review finding)."""
+    from pyspark.sql import functions as F
+
+    from dupers_spark.plans import pipeline as pl
+    from dupers_spark.plans.pipeline import DedupPipeline, PipelineConfig
+    from dupers_spark.sources import datagen
+    from dupers_spark.streaming import ingest
+
+    images = datagen.make_images(spark, 40).cache()
+    images.count()
+    parity = F.substring("image_id", -1, 1).cast("int") % 2
+    wh = str(tmp_path / "wh")
+    cfg = PipelineConfig(warehouse=wh)
+    DedupPipeline(spark, cfg).run(images.filter(parity == 0))
+    in_dir = str(tmp_path / "in")
+    images.filter(parity == 1).coalesce(1).write.parquet(in_dir)
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic maintenance failure")
+
+    monkeypatch.setattr(pl, "maintain_warehouse", boom)
+    q = ingest.stream_pipeline_appends(
+        spark, in_dir, cfg, str(tmp_path / "ckpt"),
+        max_files_per_trigger=8, maintain_every=1)
+    q.awaitTermination(300)  # raises if the query died on the failure
+
+    sigs = spark.read.parquet(wh + "/signatures").groupBy("image_id").count()
+    assert sigs.filter("count > 1").count() == 0  # appended exactly once
+    assert sigs.count() == 40
+    images.unpersist()

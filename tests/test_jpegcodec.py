@@ -147,3 +147,33 @@ def test_grayscale_single_component_decodes():
     g = np.full((8, 8, 3), 77, dtype=np.uint8)
     dec = jc.decode_baseline_jpeg(jc.encode_baseline_jpeg(g, 1))
     assert np.abs(dec.astype(int) - 77).max() <= 1
+
+
+def test_chunked_peek_refill_matches_single_window(monkeypatch):
+    """Production-size scans decode through a bounded sliding peek window
+    (memory O(chunk), not O(scan) — a 5 MB MJPG frame must not materialize
+    ~1.4 GB of per-bit Python ints in an executor). Shrink the chunk so a
+    small image forces many mid-scan refills; output is bit-identical."""
+    px = _px(41, 48, 48)
+    data = jc.encode_baseline_jpeg(px, 2)
+    want = jc.decode_baseline_jpeg(data)
+    monkeypatch.setattr(jc, "_PEEK_CHUNK_BITS", 1 << 13)
+    monkeypatch.setattr(jc, "_PEEK_MARGIN_BITS", 1 << 12)
+    got = jc.decode_baseline_jpeg(data)
+    assert np.array_equal(got, want)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker (hardware
+    MJPG encoders emit them); the decoder must skip them, in the header
+    AND between the scan's end and EOI."""
+    px = _px(43)
+    data = jc.encode_baseline_jpeg(px, 2)
+    want = jc.decode_baseline_jpeg(data)
+    filled = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    filled = filled[:-2] + b"\xff\xff" + filled[-2:]
+    assert np.array_equal(jc.decode_baseline_jpeg(filled), want)
+    # a stream ending inside a fill run is malformed, loudly (ValueError,
+    # not IndexError — callers account typed decode errors)
+    with pytest.raises(ValueError):
+        jc.decode_baseline_jpeg(data[:2] + b"\xff\xff\xff")

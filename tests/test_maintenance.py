@@ -121,3 +121,40 @@ def test_maintain_warehouse_converges(spark, tmp_path):
     records = maintain_warehouse(spark, wh)
     assert all(r["action"] == "ok" for r in records)
     assert mtimes() == before
+
+
+def test_two_way_exclusion_and_sentinel_release(spark, tmp_path):
+    """Exclusion must be two-way (round-6 review): compaction refuses
+    mid-append (above), and an APPEND must refuse mid-maintenance —
+    otherwise it could write parquet files into a directory compact_stage
+    is about to rename aside and delete, silently losing the batch. Both
+    sides back off without leaving their own sentinel, and a successful
+    maintenance releases _MAINT_PENDING."""
+    wh = str(tmp_path / "wh")
+    images = datagen.make_images(spark, 60).cache()
+    images.count()
+    cfg = PipelineConfig(warehouse=wh)
+    base = images.filter(F.col("image_id") < "img_00000030")
+    batch = images.filter(F.col("image_id") >= "img_00000030")
+    DedupPipeline(spark, cfg).run(base)
+
+    maint = os.path.join(wh, "_MAINT_PENDING")
+    with open(maint, "w") as fh:
+        fh.write("in flight")
+    with pytest.raises(ValueError, match="_MAINT_PENDING"):
+        DedupPipeline(spark, cfg).run_incremental(batch)
+    # the back-off released the append sentinel (nothing was appended)
+    assert not os.path.exists(os.path.join(wh, "_INC_PENDING"))
+    with pytest.raises(ValueError, match="_MAINT_PENDING"):
+        DedupPipeline(spark, cfg).run(base)
+    # a crashed/concurrent maintenance window refuses a second one
+    with pytest.raises(ValueError, match="_MAINT_PENDING"):
+        maintain_warehouse(spark, cfg)
+    os.remove(maint)
+
+    # normal maintenance releases its sentinel; appends work again after
+    maintain_warehouse(spark, cfg)
+    assert not os.path.exists(maint)
+    DedupPipeline(spark, cfg).run_incremental(batch)
+    assert spark.read.parquet(os.path.join(wh, "components")).count() == 60
+    images.unpersist()

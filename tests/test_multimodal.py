@@ -405,3 +405,16 @@ def test_audio_token_table_accounting_is_exact(spark):
     assert toks["empty"] == str(ao.EMPTY_CLIP_TOKEN)
     # two empty clips are duplicates of each other (identical captions)
     assert not feats["junk"]
+
+
+def test_encode_avi_validates_shapes_before_encoding():
+    """A mis-shaped frame must fail with the intended message, not a
+    confusing error from deep inside the JPEG encoder after wasted work."""
+    import pytest
+
+    from dupers_spark.functions import videocodec as vc
+
+    frames = [_frame(1, 0), _frame(1, 1)[..., 0]]  # second frame is 2-D
+    for codec in ("DIB", "MJPG"):
+        with pytest.raises(ValueError, match="share one shape"):
+            vc.encode_avi(frames, codec=codec)

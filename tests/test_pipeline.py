@@ -403,3 +403,22 @@ def test_mixed_multimodal_pipeline_incremental_matches_rebuild(spark):
             DedupPipeline(spark, cfg_full).run(images)
     for df in (images, videos, audio):
         df.unpersist()
+
+
+def test_media_frame_without_flag_refuses(spark, tmp_path):
+    """The flag/frame consistency check is two-way: a videos/audio frame
+    passed to run() or run_incremental() while its use_* flag is off would
+    silently drop a whole modality from the dedup output — the
+    accounted-never-silent policy demands a loud refusal instead."""
+    images = datagen.make_images(spark, 20)
+    videos = datagen.make_videos(spark, 10)
+    wh = str(tmp_path / "wh")
+    cfg = PipelineConfig(warehouse=wh)  # use_video/use_audio default False
+    with pytest.raises(ValueError, match="use_video=False"):
+        DedupPipeline(spark, cfg).run(images, videos=videos)
+    DedupPipeline(spark, cfg).run(images)
+    with pytest.raises(ValueError, match="use_video=False"):
+        DedupPipeline(spark, cfg).run_incremental(images.limit(0),
+                                                  new_videos=videos)
+    # the refusal happened before the append window opened
+    assert not os.path.exists(os.path.join(wh, "_INC_PENDING"))
