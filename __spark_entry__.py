@@ -754,6 +754,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_wav_features"] = audio_wav_features
 
+    def audio_compressed_features(spark, sf):
+        # The round-6 compressed-WAV decoders (functions/wavcodec.py —
+        # G.711 µ-law/A-law, IEEE float, IMA ADPCM) value-checked through
+        # the same square-wave closed form as audio_wav_features: an
+        # alternating ±A clip decodes to ±A' where A' is the companding
+        # round-trip value, a pure integer formula the oracle re-derives
+        # in SQL (mag=A+132; e=⌊log2 mag⌋−7; mant=⌊mag/2^(e+3)⌋ mod 16;
+        # A'=(8·mant+132)·2^e−132 for µ-law, and the A-law analogue).
+        # ADPCM is sequential (no closed-form rms) so its fidelity is
+        # pinned by pytest SNR gates; here its container fields and
+        # decode_ok are value-checked with rms/clip masked NULL.
+        from dupers_spark.operators import multimodal as mm
+
+        n = 48
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            from dupers_spark.functions import wavcodec as wc
+
+            tags = [wc.WAVE_MULAW, wc.WAVE_ALAW, wc.WAVE_FLOAT,
+                    wc.WAVE_IMA_ADPCM]
+            for pdf in batches:
+                ids, blobs = [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    ids.append(f"g711_{i:04d}")
+                    amp = 400 + 512 * i
+                    x = np.empty(4096, dtype="<i2")
+                    x[0::2], x[1::2] = amp, -amp
+                    tag = tags[i % 4]
+                    src = (x.astype(np.float32) / 32767.0
+                           if tag == wc.WAVE_FLOAT else x)
+                    blobs.append(wc.encode_wav(src, 8000, tag))
+                yield pd.DataFrame({"media_id": ids, "bytes": blobs})
+
+        media = spark.range(0, n, 1, 4).mapInPandas(
+            gen, "media_id string, bytes binary")
+        feats = mm.audio_features(media)
+        adpcm = (F.substring("media_id", 6, 4).cast("int") % 4) == 3
+        return feats.select(
+            "media_id", "duration_s", "sample_rate", "n_channels",
+            F.when(~adpcm, F.round("rms", 6)).alias("rms"),
+            F.when(~adpcm, F.col("clipping_rate")).alias("clipping_rate"),
+            "decode_ok")
+
+    q["audio_compressed_features"] = audio_compressed_features
+
     def audio_near_dup_components(spark, sf):
         # The audio engine END-TO-END on a deterministic planted corpus:
         # WAV-PCM decode → windowed peak-band fingerprint tokens (exactly
@@ -1319,6 +1368,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'aud_0063', CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
                CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE), FALSE
+    """
+
+    # compressed-WAV closed form: the companding round-trip value A' is a
+    # pure integer function of the planted amplitude (see the queries()
+    # docstring), re-derived here; float32 rows quantize A/32767 through
+    # REAL; ADPCM rows pin container fields with rms/clip masked (its
+    # decode is sequential — fidelity is pytest-gated, not SQL-expressible)
+    o["audio_compressed_features"] = """
+        WITH s AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, 48)),
+        a AS (SELECT i, i % 4 AS f, 400 + 512 * i AS amp FROM s),
+        d AS (SELECT i, f, amp,
+                     CAST(floor(log2(amp + 132)) AS INTEGER) - 7 AS eu,
+                     CAST(floor(log2(amp)) AS INTEGER) - 7 AS ea
+              FROM a),
+        v AS (SELECT i, f,
+                     CASE f
+                       WHEN 0 THEN (((CAST(floor((amp + 132)
+                                          / power(2, eu + 3)) AS INTEGER)
+                                      % 16) * 8 + 132) * power(2, eu)
+                                    - 132) / 32767.0
+                       WHEN 1 THEN ((CAST(floor(amp / power(2, ea + 3))
+                                          AS INTEGER) % 16) * 16 + 264)
+                                   * power(2, ea - 1) / 32767.0
+                       WHEN 2 THEN CAST(CAST(amp / 32767.0 AS REAL)
+                                        AS DOUBLE)
+                     END AS xn
+              FROM d)
+        SELECT printf('g711_%04d', i) AS media_id,
+               4096.0 / 8000.0 AS duration_s,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS n_channels,
+               CASE WHEN f = 3 THEN NULL
+                    ELSE round(sqrt(xn * xn), 6)
+               END AS rms,
+               CASE WHEN f = 3 THEN NULL ELSE 0.0 END AS clipping_rate,
+               TRUE AS decode_ok
+        FROM v
     """
 
     # same closed form as the video oracle (datagen.make_audio plants the

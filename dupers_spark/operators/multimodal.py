@@ -12,8 +12,9 @@ its signature (pkg/dupe/dupe.go:129-157 re-hashes file content), vs the
 "-fast" mode that trusts the stored index (docs/README.md:179-194) — our
 pipelines expose the same switch (PipelineConfig.fast).
 
-Audio: WAV-PCM decode is REAL (stdlib ``wave`` needs no codec —
-duration/RMS/clipping/spectral-centroid features); compressed audio rows
+Audio: WAV decode is REAL for integer PCM (stdlib ``wave``) AND for the
+public-math non-PCM tags — IEEE float, G.711 A-law/µ-law, IMA ADPCM
+(functions/wavcodec.py fallback); codec-library formats (MP3, AAC, …)
 surface as decode_ok=False. Video: RIFF/AVI with uncompressed 24-bit DIB
 frames AND MJPG (baseline-JPEG frames, the AVI convention) is REAL too
 (functions/videocodec.py — frame sampling, per-frame phash, container
@@ -212,15 +213,22 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 
 
 def _wav_pcm(data: bytes) -> tuple:
-    """Decode one WAV-PCM payload → (mono float64 samples, rate, n_channels,
-    full_scale, n_frames). Pure stdlib ``wave`` + numpy — the one audio
-    container that needs no codec library. 8/16/32-bit integer PCM;
-    compressed WAV (or any other container) raises and callers record
-    decode_ok=False."""
+    """Decode one WAV payload → (mono float64 samples, rate, n_channels,
+    full_scale, n_frames). Integer PCM goes through stdlib ``wave`` +
+    numpy; the non-PCM tags the stdlib rejects but whose math is public —
+    IEEE float, G.711 A-law/µ-law, IMA ADPCM — fall back to
+    functions/wavcodec.py. Anything else (MP3, AAC, …) raises and callers
+    record decode_ok=False."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as wf:
+    try:
+        wf_cm = wave.open(io.BytesIO(data), "rb")
+    except wave.Error:
+        from dupers_spark.functions.wavcodec import decode_wav_nonpcm
+
+        return decode_wav_nonpcm(data)
+    with wf_cm as wf:
         rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
         n_frames = wf.getnframes()
         raw = wf.readframes(n_frames)
