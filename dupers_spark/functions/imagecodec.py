@@ -7,8 +7,9 @@ The container has no PIL/opencv, so:
     ``functions/jpegcodec.py``: standard Annex-K Huffman tables, flat q=2
     quantization (reconstruction PSNR ≈ 47 dB — the BASELINE input_hint's
     ≥40 dB lossy invariant with headroom), fully deterministic. The
-    round-1..5 fake lossy container is gone; unsupported JPEG variants
-    (progressive/arithmetic) raise NotImplementedError and surface as
+    round-1..5 fake lossy container is gone; the decoder also reads
+    PROGRESSIVE (SOF2) streams. Remaining variants (arithmetic,
+    hierarchical, 12-bit) raise NotImplementedError and surface as
     accounted decode_ok=False rows.
 
 All functions operate on numpy uint8 arrays of shape (h, w, 3) and are fully

@@ -7,14 +7,21 @@ this module implements it directly on numpy —
   * encoder: 8-bit RGB → JFIF baseline sequential (SOF0), YCbCr, optional
     4:2:0 chroma subsampling, flat or quality-scaled quantization, the
     standard Annex-K Huffman tables, restart-marker-free single scan.
-  * decoder: general baseline/extended-sequential Huffman scans — SOF0 and
-    SOF1, arbitrary per-component sampling factors (MCU interleave +
-    nearest-neighbor chroma upsampling), multiple DQT/DHT segments, DRI +
-    RSTn restart intervals, 16-bit quant tables, and the MJPG convention
-    of omitted DHT segments (falls back to the Annex-K tables, which is
-    what AVI MJPG players do). Progressive (SOF2) and arithmetic-coded
-    scans raise NotImplementedError — callers account those rows as
-    decode_ok=False, never drop them silently.
+  * decoder: general Huffman scans — SOF0/SOF1 sequential (interleaved
+    AND Ns=1 non-interleaved block order) and SOF2 PROGRESSIVE (spectral
+    selection, successive approximation, DC/AC first + refinement scans,
+    EOBn run codes), arbitrary per-component sampling factors (MCU
+    interleave + nearest-neighbor chroma upsampling), multiple DQT/DHT
+    segments, DRI + RSTn restart intervals, 0xFF fill bytes, 16-bit quant
+    tables, and the MJPG convention of omitted DHT segments (falls back
+    to the Annex-K tables, which is what AVI MJPG players do).
+    Arithmetic-coded / hierarchical / lossless / 12-bit scans raise
+    NotImplementedError — callers account those rows as decode_ok=False,
+    never drop them silently.
+  * progressive encoder (encode_progressive_jpeg): the test/fixture twin
+    — same quantized coefficients as the baseline encoder re-packed as a
+    14-scan progression, so decode equality against the baseline stream
+    is a closed-form oracle.
 
 Everything is float64 + deterministic rounding, so encode and decode are
 bit-stable across runs and parallelism levels (required: the scaling bench
@@ -371,6 +378,239 @@ def encode_baseline_jpeg(px: np.ndarray, qtab: np.ndarray | int = 2,
     return bytes(out)
 
 
+# --------------------------------------------------- progressive encoder
+
+# AC table able to code every EOBn/ZRL/(r,s) symbol a progressive scan can
+# emit (Annex-K AC tables lack EOB1..EOB14): near-flat canonical table —
+# 255 symbols at 8 bits + 1 at 9 keeps the all-ones prefix reserved as
+# T.81 C.2 requires. Compression is mediocre; fixtures don't care.
+FLAT_AC = ([0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(256)))
+
+
+def encode_progressive_jpeg(px: np.ndarray, qtab: np.ndarray | int = 2,
+                            subsample: bool = False,
+                            spectral_only: bool = False) -> bytes:
+    """8-bit RGB → PROGRESSIVE (SOF2) JFIF bytes.
+
+    Scan script: DC first (interleaved, Al=1) → DC refinement (Al=0), then
+    per component AC bands 1..5 and 6..63 first at Al=1 followed by their
+    Al=0 refinements — exercising spectral selection, successive
+    approximation, EOBn run codes and non-interleaved block order.
+    spectral_only=True drops the approximation dimension (everything at
+    Al=0, no refinement scans). Coefficients are identical to
+    encode_baseline_jpeg's, so a correct decoder reproduces the baseline
+    decode bit-for-bit — the round-trip oracle the tests pin.
+    """
+    h, w, _ = px.shape
+    if np.isscalar(qtab):
+        qt = np.full(64, int(qtab), dtype=np.int64)
+    else:
+        qt = np.asarray(qtab, dtype=np.int64).reshape(64)
+
+    ycc = _rgb_to_ycc(px)
+    hs = (2, 1, 1) if subsample else (1, 1, 1)
+    vs = (2, 1, 1) if subsample else (1, 1, 1)
+    hmax, vmax = max(hs), max(vs)
+    n_mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
+    qtab8 = qt[UNZIGZAG].reshape(8, 8)
+    zz_planes = []
+    for ci in range(3):
+        p = ycc[..., ci]
+        if subsample and ci > 0:
+            pe = _pad_to(p, 2, 2)
+            p = (pe[0::2, 0::2] + pe[0::2, 1::2]
+                 + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+        p = np.pad(p, ((0, n_mcu_y * 8 * vs[ci] - p.shape[0]),
+                       (0, n_mcu_x * 8 * hs[ci] - p.shape[1])), mode="edge")
+        zz_planes.append(_fdct_quant(p, qtab8))
+
+    dc_l, _, dc_c, _ = _std_encode_tables()
+    dc_tabs = [dc_l, dc_c, dc_c]
+    ac_tab = _code_assign(*FLAT_AC)
+
+    def comp_dims(ci):
+        cw = (w * hs[ci] + hmax - 1) // hmax
+        ch = (h * vs[ci] + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | 0])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    scans: list[bytes] = []
+
+    # ---- DC first (interleaved, point transform Al) and refinement
+    dc_al = 0 if spectral_only else 1
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            for ci in range(3):
+                for by in range(vs[ci]):
+                    for bx in range(hs[ci]):
+                        v = int(zz_planes[ci][my * vs[ci] + by,
+                                              mx * hs[ci] + bx, 0]) >> dc_al
+                        size, bits = _magnitude(v - preds[ci])
+                        code, length = dc_tabs[ci][size]
+                        wtr.put(code, length)
+                        if size:
+                            wtr.put(bits, size)
+                        preds[ci] = v
+    scans.append(sos([0, 1, 2], 0, 0, 0, dc_al) + wtr.finish())
+    if not spectral_only:
+        wtr = _BitWriter()
+        for my in range(n_mcu_y):
+            for mx in range(n_mcu_x):
+                for ci in range(3):
+                    for by in range(vs[ci]):
+                        for bx in range(hs[ci]):
+                            wtr.put(int(zz_planes[ci][my * vs[ci] + by,
+                                                      mx * hs[ci] + bx, 0])
+                                    & 1, 1)
+        scans.append(sos([0, 1, 2], 0, 0, 1, 0) + wtr.finish())
+
+    # ---- AC scans, per component, two spectral bands
+    ac_al = 0 if spectral_only else 1
+
+    def ac_first(ci, ss, se, al):
+        bh, bw = comp_dims(ci)
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, length = ac_tab[nb << 4]
+                wtr.put(code, length)
+                if nb:
+                    wtr.put(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+
+        for by in range(bh):
+            for bx in range(bw):
+                zz = zz_planes[ci][by, bx]
+                mags = [(abs(int(zz[k])) >> al, int(zz[k]) < 0)
+                        for k in range(ss, se + 1)]
+                last = max((j for j, (m, _) in enumerate(mags) if m),
+                           default=-1)
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+                    continue
+                flush()
+                r = 0
+                for j in range(last + 1):
+                    m, neg = mags[j]
+                    if m == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, length = ac_tab[0xF0]
+                        wtr.put(code, length)
+                        r -= 16
+                    s = m.bit_length()
+                    code, length = ac_tab[(r << 4) | s]
+                    wtr.put(code, length)
+                    wtr.put((m if not neg else (~m & ((1 << s) - 1))), s)
+                    r = 0
+                if last < se - ss:
+                    eobrun += 1
+        flush()
+        return sos([ci], ss, se, 0, al) + wtr.finish()
+
+    def ac_refine(ci, ss, se, al):
+        bh, bw = comp_dims(ci)
+        wtr = _BitWriter()
+        eobrun = 0
+        pend: list[int] = []  # correction bits buffered across EOB runs
+
+        def flush():
+            nonlocal eobrun, pend
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, length = ac_tab[nb << 4]
+                wtr.put(code, length)
+                if nb:
+                    wtr.put(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+            for b in pend:
+                wtr.put(b, 1)
+            pend = []
+
+        for by in range(bh):
+            for bx in range(bw):
+                zz = zz_planes[ci][by, bx]
+                vals = [int(zz[k]) for k in range(ss, se + 1)]
+                t = [abs(v) >> al for v in vals]
+                eob = max((j for j, tv in enumerate(t) if tv == 1),
+                          default=-1)
+                r = 0
+                br: list[int] = []
+                for j, tv in enumerate(t):
+                    if tv == 0:
+                        r += 1
+                        continue
+                    while r > 15 and j <= eob:
+                        flush()
+                        code, length = ac_tab[0xF0]
+                        wtr.put(code, length)
+                        r -= 16
+                        for b in br:
+                            wtr.put(b, 1)
+                        br = []
+                    if tv > 1:
+                        br.append(tv & 1)
+                        continue
+                    flush()
+                    code, length = ac_tab[(r << 4) | 1]
+                    wtr.put(code, length)
+                    wtr.put(0 if vals[j] < 0 else 1, 1)
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF or len(pend) > 900:
+                        flush()
+        flush()
+        return sos([ci], ss, se, al + 1, al) + wtr.finish()
+
+    for ci in range(3):
+        for band in ((1, 5), (6, 63)):
+            scans.append(ac_first(ci, band[0], band[1], ac_al))
+    if not spectral_only:
+        for ci in range(3):
+            for band in ((1, 5), (6, 63)):
+                scans.append(ac_refine(ci, band[0], band[1], 0))
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([0])
+            + bytes(int(v) for v in qt))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for ci, cid in enumerate((1, 2, 3)):
+        sof += bytes([cid, (hs[ci] << 4) | vs[ci], 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0x00, *STD_DC_LUMA)
+    out += _dht_segment(0x01, *STD_DC_CHROMA)
+    out += _dht_segment(0x10, *FLAT_AC)
+    out += _dht_segment(0x11, *FLAT_AC)
+    for s in scans:
+        out += s
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------------- decode
 
 # peek-window chunking: a Python int list costs ~36 bytes per scan BIT, so
@@ -386,19 +626,26 @@ _PEEK_MARGIN_BITS = 1 << 16
 
 
 def _scan_bits(seg: bytes) -> np.ndarray:
-    """Unstuffed entropy segment → per-bit uint8 array padded with 1s (the
-    16-bit peeks may run past the end)."""
-    return np.unpackbits(np.frombuffer(seg + b"\xff\xff", dtype=np.uint8))
+    """Unstuffed entropy segment → padded byte array (uint32 for shift
+    math; the 16-bit peeks may run past the end, hence the 1-padding)."""
+    return np.frombuffer(seg + b"\xff\xff\xff", dtype=np.uint8).astype(
+        np.uint32)
 
 
-def _peek16(bits: np.ndarray, start: int, length: int) -> list[int]:
+def _peek16(by: np.ndarray, start: int, length: int) -> list[int]:
     """16-bit peek values for bit positions [start, start+length), as a
     Python list — the speculative-decode table that lets the entropy loop
-    run on plain list indexing."""
-    win = np.lib.stride_tricks.sliding_window_view(
-        bits[start:start + length + 15], 16)
-    pows = (1 << np.arange(15, -1, -1)).astype(np.int64)
-    return (win @ pows).tolist()
+    run on plain list indexing. Built from per-byte 24-bit windows sliced
+    at the 8 bit offsets (8 shift/mask ops per byte — an order of
+    magnitude cheaper than the former (8n,16) matmul)."""
+    b0 = start >> 3
+    nb = min((length + 7) // 8 + 2, len(by) - b0 - 2)
+    t = ((by[b0:b0 + nb] << 16)
+         | (by[b0 + 1:b0 + nb + 1] << 8)
+         | by[b0 + 2:b0 + nb + 2])
+    offs = np.arange(8, dtype=np.uint32)
+    v = ((t[:, None] >> (8 - offs)) & 0xFFFF).reshape(-1)
+    return v[start & 7:(start & 7) + length + 16].tolist()
 
 
 def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
@@ -431,115 +678,242 @@ def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
     return segs, i
 
 
-def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Baseline/extended-sequential JPEG bytes → (h, w, 3) uint8 RGB.
+class _Rd:
+    """Bit reader over one unstuffed restart segment — the chunked peek
+    window machinery shared by every non-hot-path scan kind (progressive
+    and non-interleaved sequential; the interleaved sequential hot loop
+    keeps its inlined copy for speed)."""
 
-    Raises ValueError on malformed streams and NotImplementedError on
-    progressive/arithmetic/hierarchical scans and 12-bit precision —
-    callers surface those as accounted decode_ok=False rows.
-    """
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (missing SOI)")
-    qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
-    comps: list[dict] = []
-    h = w = 0
-    restart_interval = 0
-    i = 2
-    n = len(data)
-    scan_segs: list[bytes] | None = None
-    scan_comps: list[dict] = []
-    while i < n:
-        if data[i] != 0xFF:
-            raise ValueError("marker expected")
-        # spec-legal 0xFF fill bytes may pad before any marker (T.81
-        # B.1.1.2) — hardware MJPG encoders actually emit them
-        while i + 1 < n and data[i + 1] == 0xFF:
-            i += 1
-        if i + 1 >= n:
-            raise ValueError("stream truncated inside a marker")
-        marker = data[i + 1]
-        if marker == 0xD9:  # EOI
+    __slots__ = ("bits", "nbits", "base", "v16", "pos")
+
+    def __init__(self, seg: bytes) -> None:
+        self.bits = _scan_bits(seg)
+        self.nbits = len(seg) * 8
+        self.base = 0
+        self.v16 = _peek16(self.bits, 0, _PEEK_CHUNK_BITS)
+        self.pos = 0
+
+    def refill(self) -> None:  # call at unit (block/MCU) boundaries
+        if self.pos - self.base > _PEEK_CHUNK_BITS - _PEEK_MARGIN_BITS:
+            self.base = self.pos
+            self.v16 = _peek16(self.bits, self.base, _PEEK_CHUNK_BITS)
+
+    def sym(self, tab: list[int]) -> int:
+        e = tab[self.v16[self.pos - self.base]]
+        if e < 0:
+            raise ValueError("invalid Huffman code")
+        self.pos += e >> 16
+        return (e & 0xFFFF) - 1
+
+    def get_bits(self, nb: int) -> int:
+        v = self.v16[self.pos - self.base] >> (16 - nb)
+        self.pos += nb
+        return v
+
+    def bit(self) -> int:
+        v = self.v16[self.pos - self.base] >> 15
+        self.pos += 1
+        return v
+
+    def recv_extend(self, s: int) -> int:
+        v = self.get_bits(s)
+        return v + 1 - (1 << s) if v < (1 << (s - 1)) else v
+
+
+def _run_scan(scan_segs: list[bytes], n_units: int, restart_interval: int,
+              decode_unit, new_state) -> None:
+    """Common restart-segment framing for the generic scan kinds: fresh
+    predictor/EOB-run state per RSTn segment, truncation always loud."""
+    it = 0
+    for seg in scan_segs:
+        if it >= n_units:
             break
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
-            i += 2
-            continue
-        (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
-        body = data[i + 4:i + 2 + seglen]
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
-            p = 0
-            while p < len(body):
-                pq, tq = body[p] >> 4, body[p] & 0x0F
-                p += 1
-                if pq == 0:
-                    tab = np.frombuffer(body[p:p + 64], dtype=np.uint8)
-                    p += 64
+        rd = _Rd(seg)
+        st = new_state()
+        limit = (min(it + restart_interval, n_units)
+                 if restart_interval else n_units)
+        try:
+            while it < limit:
+                rd.refill()
+                decode_unit(rd, it, st)
+                it += 1
+                if rd.pos > rd.nbits:
+                    raise ValueError("scan truncated")
+        except IndexError:
+            raise ValueError("scan truncated") from None
+    if it < n_units:
+        raise ValueError("scan ended before all units decoded")
+
+
+def _comp_block_dims(c: dict, w: int, h: int, hmax: int, vmax: int):
+    """TRUE per-component block dims (T.81 A.2.2) — non-interleaved scans
+    cover these, not the MCU-padded grid."""
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _scan_dc(scan_segs, scan_comps, coefs, htabs, restart_interval,
+             n_mcu_x, n_mcu_y, ah, al, dims) -> None:
+    """Progressive DC scan: first (Ah=0, diff-coded point transform) or
+    refinement (one appended bit per block). Interleaved over the scan's
+    components in MCU order, or block order when Ns=1."""
+    ncomp = len(scan_comps)
+    if ncomp > 1:
+        units = n_mcu_x * n_mcu_y
+
+        def blocks_of(idx):
+            my, mx = divmod(idx, n_mcu_x)
+            for ci, c in enumerate(scan_comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        yield ci, my * c["v"] + by, mx * c["h"] + bx
+    else:
+        bh, bw = dims[0]
+        units = bh * bw
+
+        def blocks_of(idx):
+            yield 0, idx // bw, idx % bw
+
+    if ah == 0:
+        dtabs = [htabs[(0, c["td"])] for c in scan_comps]
+
+        def unit(rd, idx, st):
+            for ci, by, bx in blocks_of(idx):
+                s = rd.sym(dtabs[ci])
+                if s:
+                    st[ci] += rd.recv_extend(s)
+                coefs[ci][by, bx, 0] = st[ci] << al
+
+        _run_scan(scan_segs, units, restart_interval, unit,
+                  lambda: [0] * ncomp)
+    else:
+        p1 = 1 << al
+
+        def unit(rd, idx, st):
+            for ci, by, bx in blocks_of(idx):
+                if rd.bit():
+                    coefs[ci][by, bx, 0] |= p1
+
+        _run_scan(scan_segs, units, restart_interval, unit, lambda: None)
+
+
+def _scan_ac_first(scan_segs, comp_coefs, atab, restart_interval,
+                   ss, se, al, bh, bw) -> None:
+    """Progressive AC first scan (Ah=0): band Ss..Se of one component in
+    block order, values point-transformed by Al, EOBn run codes."""
+    def unit(rd, idx, st):
+        if st[0]:
+            st[0] -= 1
+            return
+        blk = comp_coefs[idx // bw, idx % bw]
+        k = ss
+        while k <= se:
+            rs = rd.sym(atab)
+            s = rs & 0x0F
+            r = rs >> 4
+            if s == 0:
+                if r != 15:
+                    st[0] = (1 << r) - 1 + (rd.get_bits(r) if r else 0)
+                    return
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC band overflow")
+            blk[k] = rd.recv_extend(s) << al
+            k += 1
+
+    _run_scan(scan_segs, bh * bw, restart_interval, unit, lambda: [0])
+
+
+def _scan_ac_refine(scan_segs, comp_coefs, atab, restart_interval,
+                    ss, se, al, bh, bw) -> None:
+    """Progressive AC refinement scan (Ah=Al+1): one correction bit per
+    already-nonzero coefficient, ±1<<Al insertions for newly-significant
+    ones, ZRL counting only zero-history positions (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(rd, blk, k):
+        cv = int(blk[k])
+        if cv and rd.bit() and not (cv & p1):
+            blk[k] = cv + (p1 if cv >= 0 else m1)
+        return cv
+
+    def unit(rd, idx, st):
+        blk = comp_coefs[idx // bw, idx % bw]
+        k = ss
+        if st[0] == 0:
+            while k <= se:
+                rs = rd.sym(atab)
+                s = rs & 0x0F
+                r = rs >> 4
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        st[0] = (1 << r) + (rd.get_bits(r) if r else 0)
+                        break  # EOBn includes this block's sweep below
+                    # else ZRL: skip 16 zero-HISTORY positions
                 else:
-                    tab = np.frombuffer(body[p:p + 128], dtype=">u2")
-                    p += 128
-                qtabs[tq] = tab.astype(np.float64)[UNZIGZAG].reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
-            if body[0] != 8:
-                raise NotImplementedError("only 8-bit precision supported")
-            h, w = struct.unpack(">HH", body[1:5])
-            nc = body[5]
-            comps = []
-            for c in range(nc):
-                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                              "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG not supported")
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(body):
-                tc, th = body[p] >> 4, body[p] & 0x0F
-                bits = body[p + 1:p + 17]
-                nv = sum(bits)
-                htabs[(tc, th)] = _decode_lut(bits, body[p + 17:p + 17 + nv])
-                p += 17 + nv
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scan_comps = []
-            for c in range(ns):
-                cs, tt = body[1 + 2 * c:3 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
-                scan_comps.append({**comp, "td": tt >> 4, "ta": tt & 0x0F})
-            scan_segs, i = _split_scan(data, i + 2 + seglen)
-            continue
-        i += 2 + seglen
-    if not comps or scan_segs is None:
-        raise ValueError("no frame/scan in stream")
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) unsupported")
+                    if s != 1:
+                        raise ValueError("bad refinement magnitude")
+                    newval = p1 if rd.bit() else m1
+                while k <= se:
+                    if correct(rd, blk, k) == 0:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("AC band overflow")
+                    blk[k] = newval
+                k += 1
+        if st[0] > 0:
+            while k <= se:
+                correct(rd, blk, k)
+                k += 1
+            st[0] -= 1
 
-    # MJPG convention: AVI streams omit DHT — fall back to Annex K
-    std = {(0, "dc"): STD_DC_LUMA, (0, "ac"): STD_AC_LUMA,
-           (1, "dc"): STD_DC_CHROMA, (1, "ac"): STD_AC_CHROMA}
-    for c in scan_comps:
-        for tc, kind, key in ((0, "dc", "td"), (1, "ac", "ta")):
-            if (tc, c[key]) not in htabs:
-                b, v = std[(min(c[key], 1), kind)]
-                htabs[(tc, c[key])] = _decode_lut(bytes(b), bytes(v))
+    _run_scan(scan_segs, bh * bw, restart_interval, unit, lambda: [0])
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
-    n_mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
-    coefs = [np.zeros((n_mcu_y * c["v"], n_mcu_x * c["h"], 64),
-                      dtype=np.float64) for c in comps]
 
-    # the entropy loop runs on plain Python ints and list lookups (one
-    # packed (length<<16|symbol+1) table hit per Huffman symbol); blocks
-    # land in numpy only once fully decoded
-    comp_tabs = [(htabs[(0, c["td"])], htabs[(1, c["ta"])])
-                 for c in scan_comps]
+def _scan_seq_single(scan_segs, comp_coefs, dtab, atab, restart_interval,
+                     bh, bw) -> None:
+    """Non-interleaved SEQUENTIAL scan (Ns=1, full band, no point
+    transform) — block order over the component's true dims."""
+    def unit(rd, idx, st):
+        blk = comp_coefs[idx // bw, idx % bw]
+        s = rd.sym(dtab)
+        if s:
+            st[0] += rd.recv_extend(s)
+        blk[0] = st[0]
+        k = 1
+        while k < 64:
+            rs = rd.sym(atab)
+            s = rs & 0x0F
+            if s == 0:
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                break
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("AC index overflow")
+            blk[k] = rd.recv_extend(s)
+            k += 1
+
+    _run_scan(scan_segs, bh * bw, restart_interval, unit, lambda: [0])
+
+
+def _scan_seq_interleaved(scan_segs, scan_comps, comp_tabs, coefs_sel,
+                          restart_interval, n_mcu_x, n_mcu) -> None:
+    """Interleaved SEQUENTIAL scan — the hot path (every baseline image
+    and MJPG frame): the entropy loop runs on plain Python ints and list
+    lookups (one packed (length<<16|symbol+1) table hit per Huffman
+    symbol); blocks land in numpy only once fully decoded."""
     mcu_idx = 0
-    n_mcu = n_mcu_x * n_mcu_y
     for seg in scan_segs:
         if mcu_idx >= n_mcu:
             break
@@ -547,7 +921,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         nbits = len(seg) * 8
         base = 0
         v16 = _peek16(bits, base, _PEEK_CHUNK_BITS)
-        preds = [0] * len(comps)
+        preds = [0] * len(scan_comps)
         limit = (min(mcu_idx + restart_interval, n_mcu)
                  if restart_interval else n_mcu)
         pos = 0
@@ -561,7 +935,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                     dtab, atab = comp_tabs[ci]
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
-                            zz = [0.0] * 64
+                            zz = [0] * 64
                             e = dtab[v16[pos - base]]
                             if e < 0:
                                 raise ValueError("invalid Huffman code")
@@ -596,7 +970,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                                     v += 1 - (1 << s)
                                 zz[k] = v
                                 k += 1
-                            coefs[ci][my * c["v"] + by, mx * c["h"] + bx] = zz
+                            coefs_sel[ci][my * c["v"] + by,
+                                          mx * c["h"] + bx] = zz
                 mcu_idx += 1
                 if pos > nbits:
                     raise ValueError("scan truncated")
@@ -604,6 +979,161 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("scan truncated") from None
     if mcu_idx < n_mcu:
         raise ValueError("scan ended before all MCUs decoded")
+
+
+def decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    """Baseline / extended-sequential / PROGRESSIVE (SOF0/1/2) JPEG bytes
+    → (h, w, 3) uint8 RGB.
+
+    Progressive streams (spectral selection + successive approximation,
+    DC and AC first/refinement scans, EOBn run codes, non-interleaved
+    block order) accumulate integer coefficients scan by scan and IDCT
+    once at EOI. Raises ValueError on malformed streams and
+    NotImplementedError on arithmetic/hierarchical/lossless scans and
+    12-bit precision — callers surface those as accounted
+    decode_ok=False rows.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    hmax = vmax = n_mcu_x = n_mcu_y = 0
+    i = 2
+    n = len(data)
+    scan_comps: list[dict] = []
+    std = {(0, "dc"): STD_DC_LUMA, (0, "ac"): STD_AC_LUMA,
+           (1, "dc"): STD_DC_CHROMA, (1, "ac"): STD_AC_CHROMA}
+    while i < n:
+        if data[i] != 0xFF:
+            raise ValueError("marker expected")
+        # spec-legal 0xFF fill bytes may pad before any marker (T.81
+        # B.1.1.2) — hardware MJPG encoders actually emit them
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            raise ValueError("stream truncated inside a marker")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
+        body = data[i + 4:i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tab = np.frombuffer(body[p:p + 64], dtype=np.uint8)
+                    p += 64
+                else:
+                    tab = np.frombuffer(body[p:p + 128], dtype=">u2")
+                    p += 128
+                qtabs[tq] = tab.astype(np.float64)[UNZIGZAG].reshape(8, 8)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            progressive = marker == 0xC2
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq, "ci": c})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
+            n_mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "arithmetic/hierarchical/lossless JPEG not supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = body[p + 1:p + 17]
+                nv = sum(bits)
+                htabs[(tc, th)] = _decode_lut(bits, body[p + 17:p + 17 + nv])
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — decode the scan in place
+            if not comps:
+                raise ValueError("scan before frame header")
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c:3 + 2 * c]
+                comp = next((x for x in comps if x["id"] == cs), None)
+                if comp is None:
+                    raise ValueError("scan references unknown component")
+                scan_comps.append({**comp, "td": tt >> 4, "ta": tt & 0x0F})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            scan_segs, i = _split_scan(data, i + 2 + seglen)
+            if coefs is None:
+                coefs = [np.zeros((n_mcu_y * c["v"], n_mcu_x * c["h"], 64),
+                                  dtype=np.int32) for c in comps]
+            # MJPG convention: AVI streams omit DHT — fall back to Annex K
+            # for exactly the table classes this scan consumes
+            needs_dc = (not progressive) or ss == 0
+            needs_ac = (not progressive) or ss > 0
+            for c in scan_comps:
+                for tc, kind, key, needed in ((0, "dc", "td", needs_dc),
+                                              (1, "ac", "ta", needs_ac)):
+                    if needed and (tc, c[key]) not in htabs:
+                        b, v = std[(min(c[key], 1), kind)]
+                        htabs[(tc, c[key])] = _decode_lut(bytes(b), bytes(v))
+            if progressive:
+                if ah and ah != al + 1:
+                    raise ValueError(
+                        "inconsistent successive approximation (Ah≠Al+1)")
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError(
+                            "malformed progressive scan (Ss=0 needs Se=0)")
+                    _scan_dc(scan_segs, scan_comps,
+                             [coefs[c["ci"]] for c in scan_comps], htabs,
+                             restart_interval, n_mcu_x, n_mcu_y, ah, al,
+                             [_comp_block_dims(c, w, h, hmax, vmax)
+                              for c in scan_comps])
+                else:
+                    if ns != 1:
+                        raise ValueError(
+                            "progressive AC scan must be single-component")
+                    if se > 63 or ss > se:
+                        raise ValueError("bad spectral selection band")
+                    c = scan_comps[0]
+                    bh, bw = _comp_block_dims(c, w, h, hmax, vmax)
+                    fn = _scan_ac_refine if ah else _scan_ac_first
+                    fn(scan_segs, coefs[c["ci"]], htabs[(1, c["ta"])],
+                       restart_interval, ss, se, al, bh, bw)
+            elif ns == 1:
+                c = scan_comps[0]
+                bh, bw = _comp_block_dims(c, w, h, hmax, vmax)
+                _scan_seq_single(scan_segs, coefs[c["ci"]],
+                                 htabs[(0, c["td"])], htabs[(1, c["ta"])],
+                                 restart_interval, bh, bw)
+            else:
+                _scan_seq_interleaved(
+                    scan_segs, scan_comps,
+                    [(htabs[(0, c["td"])], htabs[(1, c["ta"])])
+                     for c in scan_comps],
+                    [coefs[c["ci"]] for c in scan_comps],
+                    restart_interval, n_mcu_x, n_mcu_x * n_mcu_y)
+            continue
+        i += 2 + seglen
+    if not comps or coefs is None:
+        raise ValueError("no frame/scan in stream")
 
     planes = []
     for ci, c in enumerate(comps):

@@ -4,8 +4,9 @@ PSNR verification — the training-data-pipeline components over opaque
 
 All Python work is Arrow-batched ``mapInPandas`` (never per-row UDFs); the
 codecs are the pure-stdlib ones in functions/imagecodec.py — PNG/BMP real,
-JPEG real baseline (functions/jpegcodec.py); progressive/arithmetic JPEG
-variants surface as accounted decode_ok=False rows.
+JPEG real, baseline AND progressive (functions/jpegcodec.py);
+arithmetic/hierarchical JPEG variants surface as accounted
+decode_ok=False rows.
 
 This stage is dupers' "normal mode": re-read every payload and recompute
 its signature (pkg/dupe/dupe.go:129-157 re-hashes file content), vs the

@@ -54,3 +54,14 @@ def test_phash_stability_and_locality():
     noisy = (px.astype(np.int16) + np.random.default_rng(4).integers(-2, 3, px.shape)).clip(0, 255).astype(np.uint8)
     xor = (ic.average_phash(px) ^ ic.average_phash(noisy)) & (2**64 - 1)
     assert bin(xor).count("1") <= 8  # near-dup pixels → near phash
+
+
+def test_progressive_jpg_decodes_through_image_api():
+    """A progressive JPEG arriving in the fmt=jpg column decodes through
+    the same decode_image entry the pipeline's normal mode uses — no
+    accounting row needed for SOF2 anymore."""
+    from dupers_spark.functions.jpegcodec import encode_progressive_jpeg
+
+    px = _px(5)
+    dec = ic.decode_image(encode_progressive_jpeg(px, 2), "jpg")
+    assert ic.psnr(px, dec) >= 40.0

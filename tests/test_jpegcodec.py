@@ -128,15 +128,105 @@ def test_restart_markers_reset_dc_prediction():
     assert psnr(pxb, dec[8:]) >= 40.0
 
 
-def test_progressive_and_truncated_are_loud():
+def test_malformed_arithmetic_and_truncated_are_loud():
     px = _px(31)
     data = jc.encode_baseline_jpeg(px, 2)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # SOF0 relabeled SOF2 leaves an Ss=0,Se=63 scan header — illegal in a
+    # progressive frame (T.81: DC scans need Se=0); loud, typed
+    with pytest.raises(ValueError, match="Ss=0 needs Se=0"):
         jc.decode_baseline_jpeg(data.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jc.decode_baseline_jpeg(data.replace(b"\xff\xc0", b"\xff\xc9", 1))
     with pytest.raises(ValueError):
         jc.decode_baseline_jpeg(data[:len(data) // 2])
     with pytest.raises(ValueError):
         jc.decode_baseline_jpeg(b"\x89PNG\r\n\x1a\nnope")
+
+
+# ------------------------------------------------------------- progressive
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("spectral_only", [False, True])
+def test_progressive_equals_baseline_decode(subsample, spectral_only):
+    """A progressive stream carrying the SAME quantized coefficients as
+    the baseline encoder must decode bit-identically to the baseline
+    stream — spectral selection, successive approximation (DC and AC
+    first + refinement), EOBn runs and non-interleaved block order all in
+    the loop. Noise maximizes coefficient density; the flat strip at the
+    bottom plants long EOB runs."""
+    px = _px(51, 24, 40)
+    px[16:] = 77  # flat region → all-zero AC bands → EOBn coverage
+    want = jc.decode_baseline_jpeg(jc.encode_baseline_jpeg(
+        px, 2, subsample=subsample))
+    prog = jc.encode_progressive_jpeg(px, 2, subsample=subsample,
+                                      spectral_only=spectral_only)
+    got = jc.decode_baseline_jpeg(prog)
+    assert np.array_equal(got, want)
+
+
+def test_progressive_partial_prefix_decodes_coarse():
+    """Decoding a progressive stream truncated AFTER the DC scans (the
+    format's whole point) yields a coarse but geometrically-correct image:
+    we rebuild a stream containing only the first two scans + EOI."""
+    px = _px(53, 16, 16)
+    full = jc.encode_progressive_jpeg(px, 2)
+    # scan starts = every SOS marker; keep header + first two scans
+    starts = []
+    j = 0
+    while True:
+        j = full.find(b"\xff\xda", j + 1)
+        if j < 0:
+            break
+        starts.append(j)
+    assert len(starts) >= 10  # 2 DC + 6 AC first + 6 AC refine... ≥ 10
+    coarse = jc.decode_baseline_jpeg(full[:starts[2]] + b"\xff\xd9")
+    assert coarse.shape == px.shape
+    # DC-only reconstruction = per-block means ⇒ low-frequency agreement
+    assert abs(float(coarse.mean()) - float(px.mean())) < 8.0
+
+
+def test_sequential_non_interleaved_scans_decode():
+    """Ns=1 sequential scans (one per component) use per-component block
+    order — rebuild the baseline stream as three single-component scans
+    and require bit-identical output."""
+    import struct as st
+
+    px = _px(57, 16, 24)
+    data = jc.encode_baseline_jpeg(px, 2)
+    want = jc.decode_baseline_jpeg(data)
+    # decode the baseline coefficients via the public decoder internals:
+    # simplest honest re-pack — re-encode each component as its own scan
+    # by building a fresh stream from the same quantized planes
+    ycc = jc._rgb_to_ycc(px)
+    qt = np.full(64, 2, dtype=np.int64)
+    qtab8 = qt[jc.UNZIGZAG].reshape(8, 8)
+    dc_l, ac_l, dc_c, ac_c = jc._std_encode_tables()
+    head = bytearray(b"\xff\xd8")
+    head += (b"\xff\xdb" + st.pack(">H", 67) + bytes([0])
+             + bytes(int(v) for v in qt))
+    sof = bytes([8]) + st.pack(">HH", 16, 24) + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    head += b"\xff\xc0" + st.pack(">H", len(sof) + 2) + sof
+    head += jc._dht_segment(0x00, *jc.STD_DC_LUMA)
+    head += jc._dht_segment(0x10, *jc.STD_AC_LUMA)
+    head += jc._dht_segment(0x01, *jc.STD_DC_CHROMA)
+    head += jc._dht_segment(0x11, *jc.STD_AC_CHROMA)
+    tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    for ci in range(3):
+        zz = jc._fdct_quant(ycc[..., ci], qtab8)
+        wtr = jc._BitWriter()
+        pred = 0
+        for by in range(zz.shape[0]):
+            for bx in range(zz.shape[1]):
+                pred = jc._encode_block(wtr, zz[by, bx], pred, *tabs[ci])
+        tsel = (0x00 if ci == 0 else 0x11)
+        sos = bytes([1, ci + 1, tsel, 0, 63, 0])
+        head += b"\xff\xda" + st.pack(">H", len(sos) + 2) + sos
+        head += wtr.finish()
+    head += b"\xff\xd9"
+    got = jc.decode_baseline_jpeg(bytes(head))
+    assert np.array_equal(got, want)
 
 
 def test_grayscale_single_component_decodes():
