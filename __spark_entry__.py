@@ -710,6 +710,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["jpeg_psnr_invariant"] = jpeg_psnr_invariant
 
+    def jpeg_progressive_equiv(spark, sf):
+        # Round-6 progressive decode value-checked end-to-end: for each
+        # deterministic pixel matrix, a baseline (SOF0) and a progressive
+        # (SOF2, 14-scan spectral-selection + successive-approximation
+        # script) stream carry the SAME quantized coefficients, so the
+        # decoded pixels must be bit-identical — pair_psnr reports
+        # psnr=inf. Closed form: every pair comparable and exact. Runs
+        # through the SAME Arrow pair_psnr operator the pipeline's
+        # decoded-pixel invariant stage uses.
+        from dupers_spark.operators import multimodal as mm
+
+        n = 16
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            from dupers_spark.functions.jpegcodec import (
+                encode_baseline_jpeg,
+                encode_progressive_jpeg,
+            )
+
+            for pdf in batches:
+                ids, blobs = [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    rng = np.random.default_rng(1000 + i)
+                    px = rng.integers(0, 256, (8 + i, 11 + i, 3),
+                                      dtype=np.uint8)
+                    px[(8 + i) // 2:] = 64  # flat half → EOBn coverage
+                    ids += [f"jb_{i:04d}", f"jp_{i:04d}"]
+                    blobs += [encode_baseline_jpeg(px, 2),
+                              encode_progressive_jpeg(
+                                  px, 2, spectral_only=i % 2 == 0)]
+                yield pd.DataFrame({"image_id": ids, "bytes": blobs,
+                                    "fmt": ["jpg"] * len(ids)})
+
+        images = spark.range(0, n, 1, 4).mapInPandas(
+            gen, "image_id string, bytes binary, fmt string")
+        pairs = spark.range(n).select(
+            F.format_string("jb_%04d", F.col("id")).alias("a"),
+            F.format_string("jp_%04d", F.col("id")).alias("b"))
+        res = mm.pair_psnr(pairs, images)
+        return res.select(
+            "a", "b",
+            (F.col("pixels_comparable")
+             & (F.col("psnr_db") == F.lit(float("inf")))).alias("exact"))
+
+    q["jpeg_progressive_equiv"] = jpeg_progressive_equiv
+
     def audio_wav_features(spark, sf):
         # WAV-PCM decode path value-checked: deterministic square-wave
         # clips (alternating ±A samples, 4096 samples @ 8 kHz mono 16-bit)
@@ -1333,6 +1383,14 @@ def oracle_sql() -> dict[str, str]:
                       CASE WHEN i % 10 <= 2 THEN (i // 10) * 10 ELSE i END)
                    AS component_id
         FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 120))
+    """
+
+    # same-coefficients baseline/progressive twins decode bit-identically
+    o["jpeg_progressive_equiv"] = """
+        SELECT printf('jb_%04d', i) AS a,
+               printf('jp_%04d', i) AS b,
+               true AS exact
+        FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 16))
     """
 
     # the decoded-pixel invariant holds for every planted (r0, r2) pair —
