@@ -350,9 +350,10 @@ def _decode_folder(folder: dict, packs: list[bytes]) -> bytes:
     order = _folder_chain(folder)
     coders = [coders_all[i] for i in order]
     unpack_size = folder["out_sizes"][order[-1]]
-    if coders[0]["id"] == CODER_COPY:
-        if len(coders) != 1:
-            raise Unsupported7z("7z copy coder inside a chain unsupported")
+    # Copy coders are identity transforms wherever they sit in the chain —
+    # drop them (a bare Copy folder returns the packed bytes directly)
+    coders = [c for c in coders if c["id"] != CODER_COPY]
+    if not coders:
         return packed[:unpack_size]
     # lzma raw filters are listed in COMPRESSION order — the reverse of the
     # decode walk (packed → lzma → branch/delta → output)

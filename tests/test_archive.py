@@ -235,7 +235,8 @@ def _chain_7z(payload: bytes, pre_filter: dict, coder_id: bytes,
               coder_props: bytes) -> bytes:
     """Hand-build a one-member 7z whose folder is a [pre_filter, LZMA2]
     coder chain (compression order) — the shape 7-Zip emits for
-    executable/delta-friendly payloads. Independent of write_7z so the
+    executable/delta-friendly payloads (pre_filter=None keeps the slot for
+    identity post-coders like Copy). Independent of write_7z so the
     reader is checked against the spec, not against our own writer."""
     import lzma
     import struct
@@ -246,7 +247,8 @@ def _chain_7z(payload: bytes, pre_filter: dict, coder_id: bytes,
         K_PACK_INFO, K_SIZE, K_END, K_UNPACK_INFO, K_FOLDER,
         K_CODERS_UNPACK_SIZE, K_FILES_INFO, K_NAME)
 
-    chain = [pre_filter, {"id": lzma.FILTER_LZMA2, "preset": 6}]
+    chain = (([pre_filter] if pre_filter else [])
+             + [{"id": lzma.FILTER_LZMA2, "preset": 6}])
     comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=chain)
     packed = comp.compress(payload) + comp.flush()
     l2props = lzma._encode_filter_properties(
@@ -380,3 +382,15 @@ def test_7z_substream_crc_count_excludes_known_folder_crcs():
             + sh + body + hdr)
     assert read_7z(blob) == [("f0.bin", s0), ("f1a.bin", s1a),
                              ("f1b.bin", s1b)]
+
+
+def test_7z_copy_inside_chain_decodes():
+    """A [LZMA2 → Copy] folder chain (Copy as a post-filter) is an
+    identity wrapper some writers emit; the reader drops Copy coders from
+    the chain instead of refusing the archive."""
+    from dupers_spark.functions.sevenzip import CODER_COPY, read_7z
+
+    payload = bytes(range(256)) * 40
+    blob = _chain_7z(payload, None, CODER_COPY, b"")
+    members = read_7z(blob)
+    assert members == [("m.bin", payload)]
