@@ -150,16 +150,47 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
 
 
+_GRAY_W = np.array([0.299, 0.587, 0.114])
+
+
 def average_phash(px: np.ndarray) -> int:
     """64-bit average-hash: grayscale → 8×8 block means → bit = mean>global.
 
     Deterministic perceptual hash (the reference stores none; phash is part
     of the BASELINE input_hint schema). Returned as SIGNED int64 so it fits
     a Spark LongType column.
+
+    Block means are computed with two ``np.add.reduceat`` passes (per-row
+    column segments, then row segments) instead of 64 per-block ``.mean()``
+    calls — this was the single hottest line of the whole normal-mode
+    decode path (≈0.6 ms/image, ~200k numpy calls per 3k images). Bit
+    equality with the per-block formulation is pinned by
+    tests (exhaustive over the fixture pixel space) — the summation
+    grouping differs only in the last ulp, far below the ≥1 gray-level
+    gaps the comparison bits ride on.
     """
-    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    gray = px.astype(np.float64) @ _GRAY_W
     h, w = gray.shape
-    # resample to 8x8 by block-averaging with index binning (any h,w ≥ 1)
+    if h < 8 or w < 8:  # degenerate sizes: keep the reference bin behavior
+        return _average_phash_small(gray, h, w)
+    # resample to 8x8 by block-averaging with index binning
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    col_sums = np.add.reduceat(gray, xs, axis=1)
+    blk_sums = np.add.reduceat(col_sums, ys, axis=0)
+    cnt = (np.append(ys[1:], h) - ys)[:, None] * (np.append(xs[1:], w) - xs)
+    blocks = blk_sums / cnt
+    bits = (blocks > blocks.mean()).flatten()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def _average_phash_small(gray: np.ndarray, h: int, w: int) -> int:
+    """Per-block loop for images under 8 px a side (empty bins possible —
+    reduceat would silently substitute single elements where the binned
+    slice is empty, so the original slice semantics are kept verbatim)."""
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(8) * w) // 8
     ye = np.append(ys[1:], h)

@@ -101,14 +101,19 @@ def collapse_exact(df: DataFrame, id_col: str = "image_id",
     return grouped.select("rep_id", "caption"), star_edges(df, grouped, id_col, text_col)
 
 
-def signatures(reps: DataFrame, cfg: LSHConfig = LSHConfig()) -> DataFrame:
-    """reps(rep_id, caption) → (rep_id, shingles, bands array<long>).
+def signatures(reps: DataFrame, cfg: LSHConfig = LSHConfig(),
+               keep: tuple[str, ...] = ()) -> DataFrame:
+    """reps(rep_id, caption) → (rep_id, shingles, bands array<long>[, keep]).
 
     impl='pandas' (default): ONE fused Arrow/numpy kernel does shingling +
     minhash + banding — no interpreted Spark HOF in the hot path (HOF eval
     is slow AND shows 3× run-to-run CPU variance under JIT). impl='sql'
     keeps everything JVM-side (oracle-checked variants / no-Python
     fallback) — same output shape.
+
+    keep: extra input columns carried through UNCHANGED (appended after the
+    signature columns) — e.g. keep=("caption",) lets the incremental probe
+    produce stage-shaped rows without a join-back shuffle on rep_id.
     """
     if cfg.impl == "pandas":
         from dupers_spark.functions.fasthash import caption_signature_udf
@@ -116,18 +121,22 @@ def signatures(reps: DataFrame, cfg: LSHConfig = LSHConfig()) -> DataFrame:
         fused = caption_signature_udf(
             cfg.shingle_k, cfg.num_perm, cfg.bands, cfg.rows, cfg.seed
         )
-        return reps.select("rep_id", fused(F.col("caption")).alias("s")).select(
-            "rep_id", F.col("s.shingles").alias("shingles"), F.col("s.bands").alias("bands")
+        return reps.select(
+            "rep_id", fused(F.col("caption")).alias("s"), *keep
+        ).select(
+            "rep_id", F.col("s.shingles").alias("shingles"),
+            F.col("s.bands").alias("bands"), *keep,
         )
     sh = H.word_shingles(F.col("caption"), cfg.shingle_k)
-    with_shingles = reps.select("rep_id", sh.alias("shingles"))
+    with_shingles = reps.select("rep_id", sh.alias("shingles"), *keep)
     sig = H.minhash_signature(
         H.hashed_shingles(F.col("shingles")), cfg.num_perm, cfg.seed
     )
     band_arr = F.transform(
         H.band_keys(sig, cfg.bands, cfg.rows), lambda bk: bk["key"]
     )
-    return with_shingles.select("rep_id", "shingles", band_arr.alias("bands"))
+    return with_shingles.select("rep_id", "shingles",
+                                band_arr.alias("bands"), *keep)
 
 
 def band_buckets(sigs: DataFrame, cfg: LSHConfig = LSHConfig()) -> DataFrame:
@@ -401,6 +410,7 @@ def grouped_pair_expansion(buckets: DataFrame, max_bucket: int,
                            radius: int | None = None,
                            max_depth: int = 4,
                            new_col: str | None = None,
+                           materialize: bool = False,
                            ) -> tuple[DataFrame, DataFrame]:
     """(band, key, rep_id[, sig]) buckets → (distinct (a, b) pairs a < b,
     dropped(band, key, size)).
@@ -430,6 +440,13 @@ def grouped_pair_expansion(buckets: DataFrame, max_bucket: int,
     _gen_pairs_sorted) — per touched bucket O(q_new·q) work instead of
     computing the O(q²) triu and discarding old×old downstream.
 
+    materialize=True eagerly localCheckpoints the kernel OUTPUT (one Spark
+    job), so that the two returned views — pairs and dropped — and any
+    further consumers never re-run the expansion (or the index scan feeding
+    it). The incremental probe paths use this: their callers consume pairs
+    several times AND count dropped for accounting, which under the lazy
+    default would re-execute the whole probe per consumer.
+
     Shared by the LSH band join and the simhash pigeonhole block join —
     both are instances of "expand pairs within bounded equi-key groups".
     """
@@ -444,7 +461,14 @@ def grouped_pair_expansion(buckets: DataFrame, max_bucket: int,
                           with_new=new_col is not None),
         schema="a string, b string, dband int, dkey long, dsize long",
     )
+    if materialize:
+        out = out.localCheckpoint()
     pairs = out.filter(F.col("a").isNotNull()).select("a", "b").distinct()
+    if materialize:
+        # the distinct is a shuffle; probe callers consume pairs 3× (two
+        # pair_ids projections + the verify join) — one more tiny job here
+        # beats three recomputed exchanges from the out checkpoint
+        pairs = pairs.localCheckpoint()
     dropped = out.filter(F.col("dsize").isNotNull()).select(
         F.col("dband").alias("band"), F.col("dkey").alias("key"),
         F.col("dsize").alias("size"),
@@ -461,19 +485,82 @@ def candidate_pairs(buckets: DataFrame, cfg: LSHConfig = LSHConfig()) -> tuple[D
 # bits of the (avalanched, uniform) bucket key. A stage written
 # partitionBy("kb") gets identity-partition layout (Iceberg: identity(kb))
 # so an append-batch probe whose touched-kb set is small prunes whole
-# partitions at the scan; with 64 values the pruning bites for point/trickle
-# batches while keeping file counts bounded (≈1 file per kb per write).
+# partitions at the scan; 64 is the FLOOR — at bench/test corpus sizes it
+# keeps file counts bounded (≈1 file per kb per write) while
+# derive_kb_partitions scales the modulus with the corpus (a fixed 64 at
+# 10^12 rows would put ~15G rows in each partition, defeating pruning —
+# round-6 verdict #6). The modulus a stage was WRITTEN with rides in the
+# kb column's field metadata (parquet round-trips it), so probes and
+# appends always match the layout at rest; legacy stages without metadata
+# default to 64, which is exactly what they were built with.
 KB_PARTITIONS = 64
+_PARTITION_CAP = 1 << 20
 
 
-def with_kb(buckets: DataFrame) -> DataFrame:
-    """Add the kb partition column to a (band, key, ...) bucket frame."""
-    return buckets.withColumn(
-        "kb", F.col("key").bitwiseAND(F.lit(KB_PARTITIONS - 1)).cast("int"))
+def derive_kb_partitions(n_bucket_rows: int,
+                         target_rows: int = 2_000_000,
+                         floor: int = KB_PARTITIONS) -> int:
+    """Power-of-two kb modulus sized so a partition holds ≈target_rows
+    bucket rows — scale-adaptive instead of a constant tuned to local mode
+    (64 at every bench/test scale; grows only past ~128M bucket rows)."""
+    m = floor
+    while m < _PARTITION_CAP and n_bucket_rows > m * target_rows:
+        m <<= 1
+    return m
 
 
-def prune_index_by_kb(index_buckets: DataFrame,
-                      new_buckets: DataFrame) -> DataFrame:
+def kb_modulus(buckets: DataFrame) -> int:
+    """The kb modulus a bucket frame/stage carries (field metadata written
+    by with_kb, parquet-persistent); 64 for legacy stages. The metadata is
+    stamped on BOTH the kb column and the key DATA column — partition
+    columns come back as bare directory-derived ints, so the data column
+    is what survives a partitioned stage round-trip."""
+    for c in ("kb", "key"):
+        try:
+            return int(buckets.schema[c].metadata["kb_mod"])
+        except (KeyError, TypeError):
+            continue
+    return KB_PARTITIONS
+
+
+def with_kb(buckets: DataFrame, mod: int = KB_PARTITIONS) -> DataFrame:
+    """Add the kb partition column (key's low bits, modulus ``mod``) to a
+    (band, key, ...) bucket frame; the modulus is recorded as field
+    metadata (kb + key columns) so readers recover the layout contract
+    from the stage itself."""
+    meta = {"kb_mod": mod}
+    kb = F.col("key").bitwiseAND(F.lit(mod - 1)).cast("int")
+    return buckets.select(
+        *[F.col(c).alias(c, metadata=meta) if c == "key" else F.col(c)
+          for c in buckets.columns],
+        kb.alias("kb", metadata=meta))
+
+
+def index_scan_bytes(index_buckets: DataFrame) -> int | None:
+    """Total on-disk bytes behind a scan-shaped DataFrame, from the
+    driver-side file listing — NO Spark job. None when the plan is not a
+    plain file scan (checkpoint, in-memory frame, …)."""
+    import os
+
+    try:
+        files = index_buckets.inputFiles()
+    except Exception:  # noqa: BLE001 — any non-scan plan: unknown size
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file:") and f[5:7] == "//" else \
+            (f[5:] if f.startswith("file:") else f)
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def prune_index_by_kb(index_buckets: DataFrame, new_buckets: DataFrame,
+                      min_index_bytes: int = 0) -> DataFrame:
     """Partition-prune a persisted bucket stage down to the kb partitions the
     batch can possibly touch.
 
@@ -483,17 +570,36 @@ def prune_index_by_kb(index_buckets: DataFrame,
     visible as PartitionFilters in the scan (gated in tests/test_plans.py).
     Correctness is unaffected: kb is a pure function of key, so every (band,
     key) match lives inside a touched partition.
+
+    min_index_bytes: the collect is ITSELF one Spark job — a fixed driver
+    barrier per probe. Below this index size the pruned scan cannot save
+    what the barrier costs (round-6 "wrong" #2 was exactly such added
+    barriers), so the prune is skipped when the index's file listing
+    (driver-side, no job) totals less — the broadcast (band, key) probe
+    already filters rows either way. 0 = always prune (the plan-gate
+    default); incremental_bucket_pairs passes a 1 GiB default, overridable
+    via $SPARK_GRAFT_KB_PRUNE_MIN_BYTES for cluster tuning.
     """
     if "kb" not in index_buckets.columns:
         return index_buckets
-    kbs = [r["kb"] for r in with_kb(new_buckets.select("key").distinct())
+    if min_index_bytes:
+        total = index_scan_bytes(index_buckets)
+        if total is not None and total < min_index_bytes:
+            return index_buckets
+    # the batch's kb values are computed with the STAGE's modulus (column
+    # metadata) — a probe must prune to the layout at rest, whatever scale
+    # the stage was built for
+    mod = kb_modulus(index_buckets)
+    kbs = [r["kb"] for r in with_kb(new_buckets.select("key").distinct(), mod)
            .select("kb").distinct().collect()]
     return index_buckets.filter(F.col("kb").isin(kbs))
 
 
 def incremental_bucket_pairs(index_buckets: DataFrame, new_buckets: DataFrame,
                              max_bucket: int,
-                             radius: int | None = None) -> tuple[DataFrame, DataFrame]:
+                             radius: int | None = None,
+                             materialize: bool = False,
+                             ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs for an APPEND batch probed against a persisted bucket
     index → (pairs(a, b), dropped(band, key, size)); every returned pair
     involves ≥ 1 batch rep.
@@ -514,17 +620,27 @@ def incremental_bucket_pairs(index_buckets: DataFrame, new_buckets: DataFrame,
     skipped at the source (round-5 "wrong" #3), not computed then
     discarded.
 
-    Eager: the touched-slice materialization runs one Spark job at call
-    time (it feeds the kernel).
+    Lazy by default — the (kb-pruned) index scan, broadcast probe and
+    expansion kernel all land in the FIRST job that consumes the output
+    (one barrier, not three: the round-6 formulation paid a kb-prune
+    collect AND an eager touched-slice checkpoint per probe). The kb prune
+    itself engages only past a size floor (see prune_index_by_kb). Pass
+    materialize=True to eagerly checkpoint the kernel output when
+    pairs/dropped have several consumers.
     """
+    import os
+
     cols = ["band", "key", "rep_id"] + (["sig"] if radius is not None else [])
     touched = new_buckets.select("band", "key").distinct()
-    old_touched = prune_index_by_kb(index_buckets, new_buckets).select(*cols) \
-        .join(F.broadcast(touched), ["band", "key"]).localCheckpoint()
+    min_bytes = int(os.environ.get("SPARK_GRAFT_KB_PRUNE_MIN_BYTES",
+                                   str(1 << 30)))
+    old_touched = prune_index_by_kb(index_buckets, new_buckets,
+                                    min_index_bytes=min_bytes) \
+        .select(*cols).join(F.broadcast(touched), ["band", "key"])
     combined = old_touched.withColumn("is_new", F.lit(False)).unionByName(
         new_buckets.select(*cols).withColumn("is_new", F.lit(True)))
     return grouped_pair_expansion(combined, max_bucket, radius=radius,
-                                  new_col="is_new")
+                                  new_col="is_new", materialize=materialize)
 
 
 def incremental_near_dup_edges(index_sigs: DataFrame, new_images: DataFrame,
@@ -547,7 +663,9 @@ def incremental_near_dup_edges(index_sigs: DataFrame, new_images: DataFrame,
 
     Callers append ``sigs_new`` to the signature stage afterwards so the
     index stays current (StageStore/foreachBatch; see streaming/ingest.py
-    for the exact-engine analogue).
+    for the exact-engine analogue). ``sigs_new`` is
+    (rep_id, shingles, bands, caption) — caption included so stage appends
+    need no second collapse join.
 
     index_buckets: pass the PERSISTED bucket stage (band, key, rep_id) if
     one exists — the steady-state deployment keeps it at rest partitioned
@@ -555,16 +673,25 @@ def incremental_near_dup_edges(index_sigs: DataFrame, new_images: DataFrame,
     bands × |corpus| rows from the signature table on every batch.
     """
     par = new_images.sparkSession.sparkContext.defaultParallelism * 2
-    grouped = collapse_groups(new_images, id_col, text_col) \
-        .repartition(par).localCheckpoint()
-    star = star_edges(new_images, grouped, id_col, text_col)
-    sigs_new = signatures(grouped.select("rep_id", "caption"), cfg).localCheckpoint()
+    # ONE eager job covers collapse + the Arrow signature kernel, with
+    # caption carried through the kernel select (no join-back shuffle) —
+    # the round-6 formulation checkpointed collapse and signatures
+    # separately: two barriers where the probe needs one. Carrying caption
+    # on sigs_new also lets callers append it to a signature stage without
+    # re-deriving the collapse map.
+    grouped = collapse_groups(new_images, id_col, text_col).repartition(par)
+    sigs_new = signatures(grouped.select("rep_id", "caption"), cfg,
+                          keep=("caption",)).localCheckpoint()
+    star = star_edges(new_images, sigs_new.select("rep_id", "caption"),
+                      id_col, text_col)
     if index_buckets is None:
         index_buckets = band_buckets(index_sigs, cfg)
+    # materialize=True: ONE job runs the (kb-pruned) index scan, broadcast
+    # probe and expansion kernel; pairs and the dropped accounting below
+    # are views of that checkpoint, so no consumer re-runs the probe
     pairs, dropped = incremental_bucket_pairs(
         index_buckets, band_buckets(sigs_new, cfg),
-        cfg.max_bucket)
-    pairs = pairs.localCheckpoint()  # 3 consumers below
+        cfg.max_bucket, materialize=True)
     # verify needs shingles ONLY for pair participants (a |batch|-scale id
     # set): broadcast-semi-filter the signature table so the verify joins
     # are small×small instead of shuffling |corpus| shingle arrays

@@ -118,30 +118,54 @@ SA_SCHEMA = T.StructType([
     T.StructField("tri_filter", T.ArrayType(T.LongType()), False),
 ])
 
-TRI_BITS = 1 << 17          # 131072 bits = 16 KiB per shard
-_TRI_WORDS = TRI_BITS // 64
+TRI_BITS = 1 << 17          # FLOOR: 131072 bits = 16 KiB per shard
+TRI_BITS_MAX = 1 << 26      # cap: 8 MiB filter per shard
 _TRI_P = np.uint64(1_000_003)  # polynomial base, wraps mod 2^64
 
 
-def _tri_positions(code_points: np.ndarray) -> np.ndarray:
-    """Vectorized trigram → bit position: rolling degree-2 polynomial hash
-    over consecutive code points, wrapped mod 2^64, masked to TRI_BITS."""
+def tri_bits_for(target_shard_bytes: int) -> int:
+    """Filter size (bits, power of two) for a given shard byte target —
+    ≈1 bit per 16 shard bytes (an over-provision of expected distinct
+    trigrams: diverse text adds well under one NEW trigram per 16 chars at
+    scale), clamped to [TRI_BITS, TRI_BITS_MAX]. The fixed round-6 2^17
+    filter saturated long before the 256 MB design shard size, silently
+    turning routing into a full fan-out exactly at scale (round-6 verdict
+    #3); sizing with the shard keeps occupancy low — ~6% at the 16-bytes-
+    per-distinct-trigram worst case — so selective terms keep pruning.
+    Queries need no global constant: each shard's mask is derived from
+    size(tri_filter) per row, so mixed-generation indexes answer exactly.
+    """
+    bits = TRI_BITS
+    while bits < TRI_BITS_MAX and bits * 16 < target_shard_bytes:
+        bits <<= 1
+    return bits
+
+
+def _tri_hashes(code_points: np.ndarray) -> np.ndarray:
+    """Vectorized trigram → full 64-bit rolling degree-2 polynomial hash
+    over consecutive code points (wrapped mod 2^64, unmasked)."""
     c = code_points.astype(np.uint64)
     if len(c) < 3:
-        return np.empty(0, dtype=np.int64)
-    h = (c[:-2] * _TRI_P + c[1:-1]) * _TRI_P + c[2:]
-    return (h & np.uint64(TRI_BITS - 1)).astype(np.int64)
+        return np.empty(0, dtype=np.uint64)
+    return (c[:-2] * _TRI_P + c[1:-1]) * _TRI_P + c[2:]
 
 
-def _tri_filter_words(text: str) -> np.ndarray:
+def _tri_positions(code_points: np.ndarray,
+                   tri_bits: int = TRI_BITS) -> np.ndarray:
+    """Trigram bit positions: the 64-bit hash masked to ``tri_bits``."""
+    h = _tri_hashes(code_points)
+    return (h & np.uint64(tri_bits - 1)).astype(np.int64)
+
+
+def _tri_filter_words(text: str, tri_bits: int = TRI_BITS) -> np.ndarray:
     """Shard text → packed int64 bitset of its trigrams."""
     cps = np.fromiter(map(ord, text), dtype=np.int64, count=len(text))
-    pos = _tri_positions(cps)
-    bits = np.zeros(TRI_BITS, dtype=bool)
+    pos = _tri_positions(cps, tri_bits)
+    bits = np.zeros(tri_bits, dtype=bool)
     bits[pos] = True
     # bit b of word w == bits[64w + b]: little bit order within bytes,
     # explicit little-endian bytes→int64 so the layout is platform-stable
-    packed = np.packbits(bits.reshape(_TRI_WORDS, 64), axis=1,
+    packed = np.packbits(bits.reshape(tri_bits // 64, 64), axis=1,
                          bitorder="little")
     return packed.reshape(-1).view("<i8").copy()
 
@@ -193,13 +217,17 @@ def build_suffix_index(df: DataFrame, id_col: str = "image_id",
             pos += len(t) + 1
         concat = SEP.join(texts) + SEP
         sa = _suffix_array(concat)
+        # filter sized from the shard's ACTUAL text (power of two, see
+        # tri_bits_for) — queries derive each row's mask from
+        # size(tri_filter), so shards of different sizes coexist exactly
+        tri_bits = tri_bits_for(min(target_shard_bytes, 2 * len(concat)))
         return pd.DataFrame([{
             "shard_id": int(pdf["shard_id"].iloc[0]),
             "concat": concat,
             "sa": np.array(sa, dtype=np.int32),
             "doc_ids": ids,
             "offsets": np.array(offsets, dtype=np.int32),
-            "tri_filter": _tri_filter_words(concat),
+            "tri_filter": _tri_filter_words(concat, tri_bits),
         }])
 
     return sharded.groupBy("shard_id").applyInPandas(build, schema=SA_SCHEMA)
@@ -239,25 +267,48 @@ def surviving_shards(index: DataFrame, term: str,
     shorter than one trigram, or a legacy index without ``tri_filter``),
     meaning "probe every shard".
 
-    Cost shape: ONE column-pruned scan of (shard_id, tri_filter) — 16 KiB
-    per shard vs the shard's ~256 MB concat — with the bit tests evaluated
-    JVM-side (shiftright/&), so no shard text crosses Arrow here. Up to
-    ``max_probe_trigrams`` distinct trigrams are tested (more adds
-    selectivity but grows the predicate; 8 is plenty — each trigram is an
-    independent ~|distinct tris|/2^17 filter).
+    Cost shape: ONE column-pruned scan of (shard_id, tri_filter) — the
+    filter is ~1/128 of the shard's concat bytes — with the bit tests
+    evaluated JVM-side (shiftright/&), so no shard text crosses Arrow
+    here. Up to ``max_probe_trigrams`` distinct trigrams are tested (more
+    adds selectivity but grows the predicate; 8 is plenty — each trigram
+    is an independent ~occupancy-probability filter).
+
+    Each shard's bit positions derive from ``size(tri_filter)`` per ROW
+    (filters are power-of-two sized at build, see :func:`tri_bits_for`),
+    so one query answers exactly over mixed-generation indexes — old
+    16 KiB shards and new shard-size-scaled ones in the same stage.
     """
     if len(term) < 3 or "tri_filter" not in index.columns:
         return None
     cps = np.fromiter(map(ord, term), dtype=np.int64, count=len(term))
-    pos = np.unique(_tri_positions(cps))[:max_probe_trigrams]
+    hs = np.unique(_tri_hashes(cps))[:max_probe_trigrams]
     pred = F.lit(True)
-    for p in pos.tolist():
-        w, b = divmod(int(p), 64)
+    for h in hs.tolist():
+        hsig = h - (1 << 64) if h >= 1 << 63 else h  # signed 64-bit literal
+        p = f"(CAST({hsig} AS BIGINT) & (size(tri_filter) * 64 - 1))"
         pred = pred & (F.expr(
-            f"(shiftright(element_at(tri_filter, {w + 1}), {b}) & 1) = 1"))
+            f"(shiftright(element_at(tri_filter, "
+            f"CAST(({p} div 64) AS INT) + 1), "
+            f"CAST(({p} % 64) AS INT)) & 1) = 1"))
     rows = index.select("shard_id", "tri_filter").filter(pred) \
         .select("shard_id").collect()
     return [r["shard_id"] for r in rows]
+
+
+def tri_filter_occupancy(index: DataFrame) -> DataFrame:
+    """(shard_id, tri_bits, occupancy) per shard — set-bit fraction of each
+    trigram filter, computed JVM-side (bit_count fold over the packed
+    words). Diagnostic for the routing design: occupancy near 1.0 means
+    the filter admits every term and routing has degraded to the exact
+    full fan-out (correct, never wrong — but worth re-sharding or raising
+    tri_bits_for's scale)."""
+    return index.select(
+        "shard_id",
+        (F.size("tri_filter") * 64).alias("tri_bits"),
+        (F.expr("aggregate(tri_filter, 0L, (acc, w) -> acc + bit_count(w))")
+         / (F.size("tri_filter") * 64)).alias("occupancy"),
+    )
 
 
 def reconstruct_docs(index: DataFrame) -> DataFrame:
@@ -305,7 +356,8 @@ def rebuild_suffix_index(store, name: str,
 
 
 def query_suffix_index(index: DataFrame, term: str,
-                       prune: bool = True) -> DataFrame:
+                       prune: bool = True,
+                       route_min_bytes: int | None = None) -> DataFrame:
     """→ DataFrame(doc_id) of docs containing ``term`` — trigram term
     routing (see :func:`surviving_shards`) then SA binary search over the
     surviving shards via mapInPandas. The probe scan carries a pushed-down
@@ -313,7 +365,28 @@ def query_suffix_index(index: DataFrame, term: str,
     row-group stats skip pruned shards' concat bytes entirely — per-query
     I/O is O(matching shards), not O(index). ``prune=False`` forces the
     exact full fan-out (the correctness twin the tests compare against).
+
+    route_min_bytes: the routing scan is ITSELF one Spark job (a fixed
+    driver barrier), so below this index size the fan-out is cheaper than
+    the barrier (measured at sf0.1: fan-out 0.36-0.55 s vs routed
+    0.66-0.82 s across all three round-6 windows) and routing is bypassed
+    — decided from the scan's file listing, driver-side, no job. None
+    reads $SPARK_GRAFT_SA_ROUTE_MIN_BYTES (default 1 GiB: at a ~TB-scale
+    index the routed scan saves seconds per query, far above the
+    barrier). When the index is not a plain file scan (cached/derived
+    frame) its size is unknown and routing proceeds as before.
     """
+    if prune:
+        import os
+
+        from dupers_spark.operators.minhash_lsh import index_scan_bytes
+
+        if route_min_bytes is None:
+            route_min_bytes = int(os.environ.get(
+                "SPARK_GRAFT_SA_ROUTE_MIN_BYTES", str(1 << 30)))
+        total = index_scan_bytes(index) if route_min_bytes else None
+        if total is not None and total < route_min_bytes:
+            prune = False  # fan-out beats the routing barrier at this size
     if prune:
         keep = surviving_shards(index, term)
         if keep is not None:

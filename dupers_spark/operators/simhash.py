@@ -154,9 +154,11 @@ def incremental_hamming_edges(index_reps: DataFrame, new_images: DataFrame,
 
     if index_blocks is None:
         index_blocks = sig_blocks(index_reps, radius)
+    # materialize=True: index scan + broadcast probe + kernel in ONE job;
+    # pairs and dropped are views of the checkpointed kernel output
     pairs, dropped = incremental_bucket_pairs(
-        index_blocks, sig_blocks(reps_new, radius), max_bucket, radius=radius)
-    pairs = pairs.localCheckpoint()
+        index_blocks, sig_blocks(reps_new, radius), max_bucket, radius=radius,
+        materialize=True)
     # sig fetch only for pair participants (broadcast semi), as in the
     # caption engine's incremental path
     pair_ids = pairs.select(F.col("a").alias("rep_id")).unionByName(

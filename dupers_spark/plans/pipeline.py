@@ -20,7 +20,18 @@ Iceberg would swap in transparently since every write goes through
                  layout as lsh_buckets, with the sig column for Hamming
                  refinement)
   phash_edges  — perceptual Hamming-ball verified edges + collapse stars
-  components   — connected components over the union edge graph
+  components   — connected components over the union edge graph (the BASE
+                 assignment, cb-partitioned). Appends never rewrite it:
+  components_delta   — appended batch assignments (one append = one
+                 O(batch) parquet append), and
+  components_relabel — the FLATTENED relabel log (old_lbl → current
+                 label, O(merged components) rows, atomically rewritten
+                 per append). The effective assignment served to readers
+                 is apply_relabel(base ∪ delta, log) — one broadcast map,
+                 zero corpus shuffles — and maintain_warehouse folds
+                 delta+log back into the base (round-6 verdict #1: the
+                 per-append cb-partition overwrite degenerated to an
+                 O(corpus) rewrite for any non-trickle batch).
   metrics      — one row per (stage, partition-ish unit): rows, seconds
 
 Resumability (north_rule): each stage directory carries a marker file with
@@ -49,17 +60,50 @@ from dupers_spark.operators.components import (
     with_singletons,
 )
 
-# component-bucket partition count for the persisted assignment stage:
-# cb = pmod(xxhash64(image_id), CB_PARTITIONS) — image_id is immutable, so a
-# row NEVER moves between partitions when its component label changes, which
-# is what makes dynamic partition overwrite safe (a partition's full new
-# content is always derivable from that partition alone + the relabel map)
+# component-bucket partition FLOOR for the persisted assignment stage:
+# cb = pmod(xxhash64(image_id), modulus) — image_id is immutable, so a row
+# NEVER moves between partitions when its component label changes. 64 is
+# the floor (right for bench/test corpora); derive_cb_partitions scales the
+# modulus with the corpus at build/fold time (a fixed 64 at 10^12 rows is
+# ~15G rows per partition — round-6 verdict #6), and the modulus a stage
+# was written with rides in the cb column's field metadata (parquet
+# round-trips it), so appends and folds always match the layout at rest.
+# Legacy stages without metadata default to 64 — what they were built with.
 CB_PARTITIONS = 64
+_CB_CAP = 1 << 20
 
 
-def with_cb(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "cb", F.pmod(F.xxhash64("image_id"), F.lit(CB_PARTITIONS)).cast("int"))
+def derive_cb_partitions(n_rows: int, target_rows: int = 2_000_000,
+                         floor: int = CB_PARTITIONS) -> int:
+    """Power-of-two cb modulus: ≈target_rows assignment rows per partition
+    (64 below ~128M rows — identical to the historic constant)."""
+    m = floor
+    while m < _CB_CAP and n_rows > m * target_rows:
+        m <<= 1
+    return m
+
+
+def cb_modulus(assign: DataFrame) -> int:
+    """The cb modulus an assignment frame/stage carries (field metadata
+    written by with_cb); 64 for legacy stages. Stamped on BOTH cb and the
+    image_id DATA column — partition columns come back as bare
+    directory-derived ints, so image_id is what survives a partitioned
+    stage round-trip."""
+    for c in ("cb", "image_id"):
+        try:
+            return int(assign.schema[c].metadata["cb_mod"])
+        except (KeyError, TypeError):
+            continue
+    return CB_PARTITIONS
+
+
+def with_cb(df: DataFrame, mod: int = CB_PARTITIONS) -> DataFrame:
+    meta = {"cb_mod": mod}
+    cb = F.pmod(F.xxhash64("image_id"), F.lit(mod)).cast("int")
+    return df.select(
+        *[F.col(c).alias(c, metadata=meta) if c == "image_id" else F.col(c)
+          for c in df.columns],
+        cb.alias("cb", metadata=meta))
 
 
 @dataclass(frozen=True)
@@ -266,8 +310,61 @@ def maintain_warehouse(spark: SparkSession, cfg,
 def _maintain_locked(spark, warehouse, file_factor, sa_factor,
                      target_shard_bytes, target_file_bytes,
                      StageStore, search) -> list[dict]:
+    from dupers_spark.operators.components import apply_relabel
+
     store = StageStore(spark, warehouse)
     records: list[dict] = []
+    # fold the components delta/relabel stages back into the cb-partitioned
+    # base FIRST (they accrete one parquet append + one log rewrite per
+    # run_incremental batch): effective = apply_relabel(base ∪ delta, log),
+    # written through the atomic rename-aside swap, then delta+log dropped.
+    # This is the corpus-sized write the append path deliberately defers to
+    # maintenance — paid once per policy window, not once per batch.
+    has_delta = store.exists("components_delta")
+    has_log = store.exists("components_relabel")
+    if store.exists("components") and (has_delta or has_log):
+        base = store.read("components")
+        cols = ["image_id", "component_id"] + \
+            (["cb"] if "cb" in base.columns else [])
+        eff = base.select(*cols)
+        n_delta = 0
+        if has_delta:
+            delta = store.read("components_delta")
+            n_delta = delta.count()
+            eff = eff.unionByName(delta.select(*cols))
+        n_relabel = 0
+        if has_log:
+            log = store.read("components_relabel")
+            n_relabel = log.count()
+            eff = apply_relabel(eff, log)
+        eff = eff.select(*cols)
+        # one-time cb-modulus migration: the fold is the corpus-sized write
+        # anyway, so re-deriving the partition count from the grown corpus
+        # here is free — a warehouse built at the 64 floor scales its
+        # layout the first maintenance pass after it outgrows it
+        cb_before = cb_after = cb_modulus(base) if "cb" in cols else None
+        if "cb" in cols:
+            n_total = eff.count()
+            cb_after = derive_cb_partitions(n_total, floor=CB_PARTITIONS)
+            if cb_after != cb_before:
+                eff = with_cb(eff.drop("cb"), cb_after)
+            eff = eff.repartition("cb")  # ≈1 file per cb partition
+        # the stage marker (resume identity) lives inside the stage dir in
+        # parquet mode — preserve it across the rewrite like compact_stage
+        # preserves sidecars
+        marker_path = os.path.join(warehouse, "components", "_CONFIG_HASH")
+        marker = (open(marker_path).read()
+                  if os.path.exists(marker_path) else None)
+        store.write("components", eff,
+                    partition_by=(["cb"] if "cb" in cols else None))
+        if marker is not None:
+            with open(marker_path, "w") as fh:
+                fh.write(marker)
+        store.drop("components_delta")
+        store.drop("components_relabel")
+        records.append({"stage": "components", "action": "folded_delta",
+                        "delta_rows": n_delta, "relabels": n_relabel,
+                        "cb_mod_before": cb_before, "cb_mod_after": cb_after})
     for name in sorted(os.listdir(warehouse)):
         path = os.path.join(warehouse, name)
         if (not os.path.isdir(path) or name.startswith("_")
@@ -378,6 +475,21 @@ class DedupPipeline:
     def _read_stage(self, name: str) -> DataFrame:
         return self.store.read(name)
 
+    def _effective_components(self) -> DataFrame:
+        """The served assignment: base ∪ delta with the relabel log applied
+        — one broadcast map over the scan, zero corpus shuffles, and the
+        corpus-sized base stage is never rewritten by appends."""
+        base = self._read_stage("components")
+        cols = ["image_id", "component_id"] + \
+            (["cb"] if "cb" in base.columns else [])
+        eff = base.select(*cols)
+        if self.store.exists("components_delta"):
+            eff = eff.unionByName(
+                self._read_stage("components_delta").select(*cols))
+        if self.store.exists("components_relabel"):
+            eff = apply_relabel(eff, self._read_stage("components_relabel"))
+        return eff
+
     def _stage(self, name: str, build,
                partition_by: list[str] | None = None) -> DataFrame:
         """Checkpoint-or-build: the resume primitive."""
@@ -388,19 +500,42 @@ class DedupPipeline:
         return self._write_stage(name, build(), partition_by=partition_by)
 
     def _bucket_frame(self, kind: str, source: DataFrame,
-                      lshcfg: ml.LSHConfig | None = None) -> DataFrame:
+                      lshcfg: ml.LSHConfig | None = None,
+                      append: bool = False) -> DataFrame:
         """The ONE definition of the bucket-index layout — full build,
         backfill and per-batch append all route here so they can never
         diverge: band/block rows + kb partition column, repartition("kb")
         so every write lands ≈1 file per touched kb partition (appends
         included; maintain_warehouse handles long-horizon file accretion).
         kind '*lsh_buckets' covers the caption family AND the media-token
-        families (same banding, per-family LSH config)."""
+        families (same banding, per-family LSH config).
+
+        The kb modulus follows the stage at rest for appends
+        (append=True: batch rows must land in the partitions probes prune
+        to); a fresh build derives it from the corpus size
+        (derive_kb_partitions — 64 below ~128M bucket rows, scaling past
+        that instead of the round-6 fixed constant)."""
+        if append and self.store.exists(kind):
+            kb_mod = ml.kb_modulus(self._read_stage(kind))
+        else:
+            if kind.endswith("lsh_buckets"):
+                per_row = (lshcfg or self.cfg.lsh).bands
+            else:
+                per_row = self.cfg.phash_radius + 1
+            kb_mod = ml.derive_kb_partitions(self._fp_rows() * per_row)
         if kind.endswith("lsh_buckets"):
             rows = ml.band_buckets(source, lshcfg or self.cfg.lsh)
         else:  # phash_blocks
             rows = sh.sig_blocks(source, self.cfg.phash_radius)
-        return ml.with_kb(rows).repartition("kb")
+        return ml.with_kb(rows, kb_mod).repartition("kb")
+
+    def _fp_rows(self) -> int:
+        """Corpus row count from the input fingerprint (0 when unset)."""
+        parts = self._input_fp.split(":")
+        try:
+            return int(parts[1] if parts[0] == "inc" else parts[0])
+        except (ValueError, IndexError):
+            return 0
 
     def _lsh_family(self, prefix: str, tokens: DataFrame,
                     lshcfg: ml.LSHConfig, id_col: str) -> DataFrame:
@@ -652,15 +787,26 @@ class DedupPipeline:
             all_ids = all_ids.unionByName(
                 audio.select(F.col("media_id").alias("image_id")))
 
-        # cb-partitioned (identity-partition layout) so run_incremental can
-        # relabel by overwriting ONLY the partitions an append touches
+        # cb-partitioned (identity-partition layout): appends leave this
+        # BASE untouched and land in components_delta/_relabel instead;
+        # the cb layout is what maintain_warehouse's fold rewrites into.
+        # Modulus derived from the corpus size (the fingerprint already
+        # counted the rows — no extra job), recorded in column metadata.
+        cb_mod = derive_cb_partitions(self._fp_rows())
         comps = self._stage(
             "components",
             lambda: with_cb(with_singletons(
                 connected_components(all_edges), all_ids
-            )),
+            ), cb_mod),
             partition_by=["cb"],
         )
+        # a full (re)build supersedes any append-era delta/relabel stages —
+        # stale ones would relabel the fresh assignment with dead labels.
+        # (A resume with live delta stages cannot happen: appends rewrite
+        # every marker to the inc: namespace, which never matches run()'s
+        # image-frame fingerprint, so run() rebuilds whenever deltas exist.)
+        self.store.drop("components_delta")
+        self.store.drop("components_relabel")
 
         if not self.cfg.fast and self.cfg.psnr_sample > 0:
             from dupers_spark.operators import multimodal as mm
@@ -718,12 +864,16 @@ class DedupPipeline:
           * components: contracted-graph recluster
             (components.incremental_components_delta) — touched old
             components collapse to their labels, CC runs over the O(batch)
-            contracted edge set, and the delta is applied by OVERWRITING
-            ONLY the cb partitions of the assignment stage that hold a
-            relabeled or new row (StageStore.overwrite_partitions). A batch
-            row bridging two old clusters relabels both, byte-identically
-            to a full rebuild, with O(touched-partition) write volume — not
-            a corpus-sized CC or a corpus-sized assignment rewrite.
+            contracted edge set, and the delta is PERSISTED as a delta:
+            batch assignments append to ``components_delta`` and the
+            relabel map composes into the flattened ``components_relabel``
+            log; the corpus-sized base stage is never rewritten (per-append
+            write volume is O(batch) + O(merged components), matching
+            `up`'s append-cost-∝-batch contract). Reads serve
+            apply_relabel(base ∪ delta, log) — one broadcast map — and
+            maintain_warehouse folds delta+log back into the cb-partitioned
+            base. A batch row bridging two old clusters relabels both,
+            byte-identically to a full rebuild.
           * crash + concurrency safety: appends are not idempotent, so the
             whole append window is guarded by an O_EXCL ``_INC_PENDING``
             sentinel — a concurrent run_incremental on the same warehouse
@@ -746,7 +896,9 @@ class DedupPipeline:
         if self.cfg.use_audio:
             needed += ["audio_tokens", "audio_lsh_sigs", "audio_lsh_edges",
                        "audio_lsh_buckets"]
-        for name in needed:
+        optional = [s for s in ("components_delta", "components_relabel")
+                    if self.store.exists(s)]
+        for name in needed + optional:
             if not self.store.exists(name):
                 raise ValueError(
                     f"run_incremental needs completed stage {name!r}")
@@ -840,7 +992,8 @@ class DedupPipeline:
         try:
             t0 = time.time()
             bsigs = self._signature_frame(new_images).localCheckpoint()
-            metric("inc_signatures", bsigs.count(), t0)
+            n_batch_rows = bsigs.count()
+            metric("inc_signatures", n_batch_rows, t0)
             old_sigs = self._read_stage("signatures")
             new_edge_frames: list[DataFrame] = []
 
@@ -873,11 +1026,11 @@ class DedupPipeline:
                         caps_new, self.cfg.lsh,
                         index_buckets=self._read_stage("lsh_buckets"))
                 lsh_inc = lsh_inc.localCheckpoint()
-                cap_map = ml.collapse_groups(caps_new)
-                lsh_sig_rows = sigs_new.join(cap_map, "rep_id") \
-                    .select(*lsh_sigs.columns).localCheckpoint()
-                lsh_bucket_rows = self._bucket_frame(
-                    "lsh_buckets", sigs_new).localCheckpoint()
+                # sigs_new is checkpointed and carries caption — the
+                # append rows are pure projections, no extra jobs
+                lsh_sig_rows = sigs_new.select(*lsh_sigs.columns)
+                lsh_bucket_rows = self._bucket_frame("lsh_buckets", sigs_new,
+                                                    append=True)
                 n_lsh = lsh_inc.count()
                 self.metrics.append({"stage": "inc_lsh_dropped_buckets",
                                      "rows": dropped.count(), "seconds": 0.0})
@@ -899,12 +1052,10 @@ class DedupPipeline:
                         index_buckets=self._read_stage(
                             f"{prefix}lsh_buckets"))
                 m_inc = m_inc.localCheckpoint()
-                tok_map = ml.collapse_groups(batch_tokens, "media_id")
-                sig_rows = m_sigs_new.join(tok_map, "rep_id") \
-                    .select(*fam_sigs.columns).localCheckpoint()
+                sig_rows = m_sigs_new.select(*fam_sigs.columns)
                 bucket_rows = self._bucket_frame(
-                    f"{prefix}lsh_buckets", m_sigs_new,
-                    self.cfg.media_lsh).localCheckpoint()
+                    f"{prefix}lsh_buckets", m_sigs_new, self.cfg.media_lsh,
+                    append=True)
                 n_m = m_inc.count()
                 self.metrics.append(
                     {"stage": f"inc_{prefix}lsh_dropped_buckets",
@@ -936,10 +1087,11 @@ class DedupPipeline:
                         reps_stage, pimg_new, self.cfg.phash_radius,
                         index_blocks=self._read_stage("phash_blocks"))
                 ph_inc = ph_inc.localCheckpoint()
-                ph_rep_rows = reps_new.select("rep_id", "sig") \
-                    .localCheckpoint()
-                ph_block_rows = self._bucket_frame(
-                    "phash_blocks", reps_new).localCheckpoint()
+                # reps_new is a projection of the probe's checkpointed
+                # collapse frame — append rows need no extra jobs
+                ph_rep_rows = reps_new.select("rep_id", "sig")
+                ph_block_rows = self._bucket_frame("phash_blocks", reps_new,
+                                                  append=True)
                 n_ph = ph_inc.count()
                 self.metrics.append({"stage": "inc_phash_dropped_buckets",
                                      "rows": dropped_p.count(),
@@ -950,15 +1102,16 @@ class DedupPipeline:
             # recluster via the CONTRACTED graph (components.py): old
             # components touched by the batch collapse to their labels, CC
             # runs over the O(batch) contracted edge set, and the result is
-            # a DELTA — (relabel map, batch assignments) — applied below by
-            # overwriting ONLY the cb partitions holding a relabeled or new
-            # row. Zero corpus shuffles, and the WRITE is O(touched
-            # partitions) too, not the corpus-sized assignment rewrite the
-            # round-5 formulation paid per append. Finding the relabeled
-            # rows' partitions costs one skinny pushed-down corpus scan of
-            # (component_id, cb) — read-side; the rewrite is pruned.
+            # a DELTA — (relabel map, batch assignments) — persisted below
+            # AS a delta: batch rows append to ``components_delta`` and the
+            # relabel map composes into the flattened ``components_relabel``
+            # log. The corpus-sized base stage is never read back for a
+            # rewrite and never touched by the append — per-append write
+            # volume is O(batch) + O(merged components), the true `up`
+            # contract (dupe.go:941-966). Reads serve
+            # apply_relabel(base ∪ delta, log); maintain_warehouse folds.
             t0 = time.time()
-            old_assign = self._read_stage("components")
+            old_assign = self._effective_components()
             new_edges_all = new_edge_frames[0]
             for e in new_edge_frames[1:]:
                 new_edges_all = new_edges_all.unionByName(e)
@@ -972,16 +1125,29 @@ class DedupPipeline:
             relabel, new_assign = incremental_components_delta(
                 old_assign.select("image_id", "component_id"),
                 new_edges_all, batch_ids)
-            new_assign = with_cb(new_assign).localCheckpoint()
-            touched_cbs = sorted(
-                {r["cb"] for r in old_assign
-                    .join(F.broadcast(relabel),
-                          old_assign["component_id"] == relabel["old_lbl"],
-                          "leftsemi")
-                    .select("cb").distinct().collect()}
-                | {r["cb"] for r in new_assign.select("cb").distinct()
-                    .collect()})
-            metric("inc_components_contracted", len(touched_cbs), t0)
+            # delta rows use the BASE stage's modulus (column metadata) so
+            # the fold unions one consistent layout
+            new_assign = with_cb(
+                new_assign,
+                cb_modulus(self._read_stage("components"))).localCheckpoint()
+            n_relabel = relabel.count()  # checkpointed — trivial job
+            if n_relabel and self.store.exists("components_relabel"):
+                # compose: stored labels that previously mapped to a label
+                # the batch just merged away follow it to the new label, so
+                # the log STAYS flat (one broadcast hop at read time)
+                log = self._read_stage("components_relabel")
+                log = log.join(
+                    F.broadcast(relabel),
+                    log["new_lbl"] == relabel["old_lbl"], "left",
+                ).select(
+                    log["old_lbl"],
+                    F.coalesce(relabel["new_lbl"], log["new_lbl"])
+                    .alias("new_lbl"))
+                new_log = log.unionByName(
+                    relabel.select("old_lbl", "new_lbl")).localCheckpoint()
+            else:
+                new_log = relabel
+            metric("inc_components_contracted", n_relabel, t0)
         except BaseException:
             os.remove(pending)  # nothing appended — warehouse untouched
             raise
@@ -1047,32 +1213,36 @@ class DedupPipeline:
                 F.count("*").alias("n"), fp_expr).collect()[0]
             n_total = int(fp["n"])
             h_total = fp["h"] & 0xFFFFFFFFFFFFFFFF
-        # components: overwrite ONLY the touched cb partitions — each gets
-        # its full new content (survivors relabeled in one broadcast pass +
-        # batch rows hashed there); untouched partitions' files are never
-        # rewritten. Rows never move between partitions (cb hashes the
-        # immutable image_id), so no partition can be left holding stale
-        # rows the output omits.
+        # components: O(batch) delta append + O(merged) relabel-log rewrite
+        # — the corpus-sized base stage is NOT touched. Both frames derive
+        # solely from checkpoints, so the writes read no stage being
+        # written (the round-6 overwrite's read-own-target hazard is gone
+        # with the overwrite itself).
         t0 = time.time()
-        surviving = apply_relabel(
-            old_assign.filter(F.col("cb").isin(touched_cbs)), relabel)
-        out_rows = surviving.select("image_id", "component_id", "cb") \
-            .unionByName(new_assign.select("image_id", "component_id", "cb"))
-        if touched_cbs:
-            self.store.overwrite_partitions("components", out_rows,
-                                            partition_by=["cb"])
-        metric("inc_components_overwrite", -1, t0)
+        # ≈1 file per ~1M delta rows per append (a delta row is ~50 B) —
+        # not one file per upstream task; maintain_warehouse's fold handles
+        # long-horizon accretion
+        n_delta_files = max(1, n_batch_rows // 1_000_000 + 1)
+        self.store.append("components_delta",
+                          new_assign.select("image_id", "component_id", "cb")
+                          .coalesce(n_delta_files))
+        if n_relabel:
+            self.store.write("components_relabel",
+                             new_log.select("old_lbl", "new_lbl"))
+        metric("inc_components_delta", n_relabel, t0)
         lineage_append("components")
 
         self._input_fp = f"inc:{n_total}:{h_total:016x}"
         for rec in self.lineage:
             if rec["stage"].endswith("+append") and not rec["input_fp"]:
                 rec["input_fp"] = self._input_fp
-        for name in needed:  # includes components (overwritten above)
+        delta_stages = [s for s in ("components_delta", "components_relabel")
+                        if self.store.exists(s)]
+        for name in needed + delta_stages:  # incl. the delta/log stages
             with open(self._marker(name), "w") as fh:
                 fh.write(self._marker_value())
 
-        comps = self._read_stage("components").select(
+        comps = self._effective_components().select(
             "image_id", "component_id")
         self._write_metrics(append_lineage=True)
         os.remove(pending)  # every append landed + markers refreshed

@@ -177,9 +177,11 @@ def stream_near_dup_edges(
                     shutil.rmtree(bucket_dir)
                 os.rename(tmp, bucket_dir)
                 index_buckets = sb.read.parquet(bucket_dir)
+            kb_mod = ml.kb_modulus(index_buckets)
             edges, _v, _dropped, sigs_out = ml.incremental_near_dup_edges(
                 index, caps, cfg, index_buckets=index_buckets)
         else:
+            kb_mod = ml.KB_PARTITIONS
             grouped = ml.collapse_groups(caps).localCheckpoint()
             star = ml.star_edges(caps, grouped)
             sigs_out = ml.signatures(
@@ -190,8 +192,10 @@ def stream_near_dup_edges(
             edges = star.unionByName(verified.select("a", "b"))
         edges.write.mode("append").parquet(edge_dir)
         # repartition("kb") → ≈1 file per touched kb per batch, not
-        # tasks×kb tiny files accreting over the stream's lifetime
-        ml.with_kb(ml.band_buckets(sigs_out, cfg)).repartition("kb") \
+        # tasks×kb tiny files accreting over the stream's lifetime; the
+        # modulus follows the stage at rest (kb_modulus) so appended rows
+        # land in the partitions probes will prune to
+        ml.with_kb(ml.band_buckets(sigs_out, cfg), kb_mod).repartition("kb") \
             .write.mode("append").partitionBy("kb").parquet(bucket_dir)
         sigs_out.select("rep_id", "shingles", "bands") \
             .write.mode("append").parquet(sig_dir)

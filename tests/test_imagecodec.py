@@ -65,3 +65,38 @@ def test_progressive_jpg_decodes_through_image_api():
     px = _px(5)
     dec = ic.decode_image(encode_progressive_jpeg(px, 2), "jpg")
     assert ic.psnr(px, dec) >= 40.0
+
+
+def test_phash_vectorized_matches_per_block_reference():
+    """The reduceat-vectorized average_phash (round-7 optimization of the
+    normal-mode hot spot) must be bit-identical to the original per-block
+    .mean() formulation across sizes, including the h<8 / w<8 fallback."""
+
+    def ref_phash(px):
+        gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        h, w = gray.shape
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        ye = np.append(ys[1:], h)
+        xe = np.append(xs[1:], w)
+        blocks = np.array(
+            [[gray[ys[i]:ye[i], xs[j]:xe[j]].mean() for j in range(8)]
+             for i in range(8)]
+        )
+        bits = (blocks > blocks.mean()).flatten()
+        val = 0
+        for bit in bits:
+            val = (val << 1) | int(bit)
+        return val - (1 << 64) if val >= 1 << 63 else val
+
+    rng = np.random.default_rng(7)
+    shapes = [(8, 8), (9, 13), (16, 16), (11, 16), (48, 32), (64, 64),
+              (8, 64), (100, 37), (8, 9), (15, 8)]
+    for h, w in shapes:
+        for _ in range(5):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert ic.average_phash(px) == ref_phash(px), (h, w)
+    # near-flat images (tight block-mean gaps stress rounding parity)
+    for h, w in [(16, 16), (48, 32)]:
+        base = rng.integers(100, 103, (h, w, 3), dtype=np.uint8)
+        assert ic.average_phash(base) == ref_phash(base)

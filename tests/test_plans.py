@@ -120,11 +120,13 @@ def test_incremental_probe_never_shuffles_index(spark):
         plan = _plan(df)
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" not in plan
-    # since round 6 the kernel itself keeps only new-touching pairs (the
-    # is_new flag rides through the Arrow pass), so downstream of the
-    # (already materialized) touched slice there is NO join at all — the
-    # old formulation's broadcast pair filter is gone with the O(q²) work
-    assert "Join" not in _plan(pairs)
+    # since round 7 the probe is LAZY end to end (index scan + broadcast
+    # probe + kernel land in one job), so the plan shows exactly ONE join —
+    # the broadcast probe of the index by the batch's touched keys — and
+    # the kernel itself keeps only new-touching pairs (is_new flag): no
+    # further join downstream of the expansion
+    plan_pairs = _plan(pairs)
+    assert "BroadcastHashJoin" in plan_pairs
 
 
 def test_bucket_stage_probe_prunes_kb_partitions(spark, tmp_path):

@@ -195,3 +195,76 @@ def test_suffix_shards_sized_by_bytes(spark):
     assert max_len < 50_000
     hits = query_suffix_index(idx, "xQ").collect()
     assert [r["doc_id"] for r in hits] == ["doc_0007"]
+
+
+def test_tri_filter_scales_with_shard_size_and_occupancy_low(spark):
+    """Round-6 verdict #3: the fixed 2^17-bit filter saturates long before
+    the 256 MB design shard size, silently degrading routing to a full
+    fan-out at scale. Filters now size with the shard (tri_bits_for,
+    power of two, recorded implicitly as size(tri_filter)), queries derive
+    each shard's mask per row — so MIXED filter generations answer
+    exactly — and occupancy is observable via tri_filter_occupancy."""
+    assert search.tri_bits_for(10_000) == search.TRI_BITS          # floor
+    assert search.tri_bits_for(256 << 20) == 1 << 24               # scaled
+    assert search.tri_bits_for(1 << 40) == search.TRI_BITS_MAX     # capped
+
+    # two generations in one index: small shards (floor filters) + a
+    # bigger appended shard — per-row masks must answer exactly
+    docs_a = spark.range(60).selectExpr(
+        "concat('a_', id) AS image_id",
+        "concat(repeat('common filler words ', 10), "
+        "case when id = 7 then 'zebraquartz' else '' end) AS caption")
+    docs_b = spark.range(60, 120).selectExpr(
+        "concat('b_', id) AS image_id",
+        "concat(repeat('other padding text ', 10), "
+        "case when id = 99 then 'zebraquartz' else '' end) AS caption")
+    idx_a = search.build_suffix_index(docs_a, target_shard_bytes=4_000)
+    idx_b = search.build_suffix_index(docs_b, target_shard_bytes=100_000,
+                                      shard_offset=1000)
+    idx = idx_a.unionByName(idx_b).cache()
+
+    occ = {r["shard_id"]: r for r in search.tri_filter_occupancy(idx).collect()}
+    assert occ, "occupancy must be computable per shard"
+    assert all(0.0 < r["occupancy"] < 0.5 for r in occ.values())
+    assert all(r["tri_bits"] % 64 == 0 and r["tri_bits"] >= search.TRI_BITS
+               for r in occ.values())
+
+    pruned = {r["doc_id"] for r in search.query_suffix_index(
+        idx, "zebraquartz", route_min_bytes=0).collect()}
+    exact = {r["doc_id"] for r in search.query_suffix_index(
+        idx, "zebraquartz", prune=False).collect()}
+    assert pruned == exact == {"a_7", "b_99"}
+    keep = search.surviving_shards(idx, "zebraquartz")
+    assert keep is not None and len(keep) < idx.count()  # routing pruned
+
+
+def test_suffix_query_routing_bypassed_below_size_floor(spark, tmp_path):
+    """The routing scan is one Spark job; under the size floor the query
+    must skip it (fan-out is cheaper than the barrier — round-6 measured
+    0.36-0.55 s fan-out vs 0.66-0.82 s routed at sf0.1) while answering
+    identically. Verified by monkeypatch-free construction: a persisted
+    tiny index + a huge floor ⇒ the planned scan carries NO shard_id
+    pruning filter, and answers still match the exact twin."""
+    import re
+
+    docs = spark.range(40).selectExpr(
+        "concat('doc_', id) AS image_id",
+        "concat('alpha beta gamma ', case when id = 3 then 'zebraquartz' "
+        "else '' end) AS caption")
+    path = str(tmp_path / "sa")
+    search.build_suffix_index(docs, target_shard_bytes=2_000) \
+        .write.parquet(path)
+    idx = spark.read.parquet(path)
+
+    routed = search.query_suffix_index(idx, "zebraquartz",
+                                       route_min_bytes=1 << 40)
+    plan = routed._sc._jvm.PythonSQLUtils.explainString(
+        routed._jdf.queryExecution(), "formatted")
+    assert not re.search(r"shard_id IN", plan)  # routing bypassed
+    assert {r["doc_id"] for r in routed.collect()} == {"doc_3"}
+    # with the floor off, the same persisted index IS routed
+    keep = search.surviving_shards(idx, "zebraquartz")
+    assert keep is not None
+    routed_on = search.query_suffix_index(idx, "zebraquartz",
+                                          route_min_bytes=0)
+    assert {r["doc_id"] for r in routed_on.collect()} == {"doc_3"}
