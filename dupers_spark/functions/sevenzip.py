@@ -351,7 +351,18 @@ def _decode_folder(folder: dict, packs: list[bytes]) -> bytes:
     coders = [coders_all[i] for i in order]
     unpack_size = folder["out_sizes"][order[-1]]
     # Copy coders are identity transforms wherever they sit in the chain —
-    # drop them (a bare Copy folder returns the packed bytes directly)
+    # drop them (a bare Copy folder returns the packed bytes directly).
+    # A Copy whose declared out_size is SMALLER than its input is a
+    # truncation, which the DAG evaluator honors (ins[0][:out_size]) but a
+    # dropped coder would not — route such (pathological) folders through
+    # the general path instead of silently decoding differently.
+    for j, c in enumerate(coders):
+        if c["id"] != CODER_COPY:
+            continue
+        in_size = (len(packed) if j == 0
+                   else folder["out_sizes"][order[j - 1]])
+        if folder["out_sizes"][order[j]] != in_size:
+            return _decode_folder_dag(folder, packs)
     coders = [c for c in coders if c["id"] != CODER_COPY]
     if not coders:
         return packed[:unpack_size]

@@ -166,7 +166,14 @@ def probe_avi(data: bytes) -> dict:
                             meta["fourcc"] = data[p3 + 4:p3 + 8].decode(
                                 "ascii", "replace").strip()
                     elif (t3 == b"strf" and cur_type == b"vids"
+                          and meta.get("stream_no") == stream_no
                           and "compression" not in meta):
+                        # bind the strf to the SELECTED vids strl only — a
+                        # second vids stream's format must never describe
+                        # the first stream's chunks (frames would be read
+                        # from one stream's prefix with another's codec);
+                        # a selected strl with no strf falls through to
+                        # the loud UnsupportedVideo below
                         bi = struct.unpack_from("<IiiHHI", data, p3)
                         meta["compression"] = bi[5]
                         meta["bit_count"] = bi[4]

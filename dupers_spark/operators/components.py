@@ -216,6 +216,8 @@ def incremental_components_delta(
     defeats incrementality at 10^12 rows). Requires batch ids disjoint
     from corpus ids (append semantics, enforced upstream by the pipeline).
     """
+    import os
+
     edges = new_edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
     ep = edges.select(F.col("a").alias(id_col)).unionByName(
         edges.select(F.col("b").alias(id_col))).distinct().localCheckpoint()
@@ -231,8 +233,22 @@ def incremental_components_delta(
         .join(lmap.select(F.col(id_col).alias("b"), F.col("lbl").alias("lb")), "b")
         .select(F.col("la").alias("a"), F.col("lb").alias("b"))
         .filter(F.col("a") != F.col("b"))
+        .distinct().localCheckpoint()
     )
-    contracted = connected_components(ce).localCheckpoint()  # O(batch) graph
+    # The contracted graph is O(batch) BY CONSTRUCTION (only components the
+    # batch touches appear), so for every realistic append it is far below
+    # driver scale — a driver-side union-find labels it in milliseconds
+    # where the iterative star loop pays 2 shuffle barriers + a fingerprint
+    # job PER ROUND (measured: ~4 s of a 22 s 4k-row append was this loop's
+    # barriers). The threshold keeps the distributed loop for pathological
+    # batches; labels are identical either way (min member id — string min
+    # matches Spark's F.min on strings).
+    max_driver = int(os.environ.get("SPARK_GRAFT_DRIVER_CC_MAX_EDGES",
+                                    str(1_000_000)))
+    if ce.count() <= max_driver:
+        contracted = _driver_components(ce, id_col)
+    else:
+        contracted = connected_components(ce).localCheckpoint()  # O(batch)
     # old components whose label changed (merged into a smaller-id blob)
     touched_old = old_lbls.select(F.col("component_id").alias(id_col)).distinct()
     relabel = (
@@ -251,6 +267,39 @@ def incremental_components_delta(
         .withColumn("component_id", F.col(id_col))
     new_assign = new_in_graph.unionByName(lone_new).localCheckpoint()
     return relabel, new_assign
+
+
+def _driver_components(edges: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Union-find over an ALREADY-SMALL (collected) edge frame →
+    (id_col, component_id=min member) as a local DataFrame. Only called on
+    frames bounded by construction (the contracted batch graph); output
+    matches connected_components exactly: every node of the edge set is
+    labeled with the lexicographic min of its component."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = edges.collect()
+    for r in rows:
+        u, v = r["a"], r["b"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min-label union keeps the root the smallest member so far
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(x, find(x)) for x in parent]
+    t = edges.schema["a"].dataType.simpleString()
+    return edges.sparkSession.createDataFrame(
+        out, f"{id_col} {t}, component_id {t}")
 
 
 def incremental_components(old_assign: DataFrame, new_edges: DataFrame,

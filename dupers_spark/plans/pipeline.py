@@ -653,6 +653,35 @@ class DedupPipeline:
         # state, so resuming onto them would be silently wrong. Force a full
         # rebuild (which makes the warehouse consistent), then clear it.
         self._force_rebuild = os.path.exists(self._pending())
+        # exclusion must hold for run()'s WHOLE window, not just the check
+        # above: a maintenance pass starting mid-run() could interleave its
+        # compact/rename-aside swaps with the rebuild's stage writes
+        # (round-6 review). run() holds the SAME sentinel run_incremental
+        # uses — maintain_warehouse already backs off on it — released on
+        # every exit (unlike an append, a partially-written rebuild is
+        # already crash-consistent through the per-stage markers, so the
+        # sentinel here is mutual exclusion, not crash evidence).
+        _held = False
+        if not self._force_rebuild:
+            os.makedirs(self.cfg.warehouse, exist_ok=True)
+            try:
+                fd = os.open(self._pending(),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, b"full rebuild in flight")
+                os.close(fd)
+                _held = True
+            except FileExistsError:
+                raise ValueError(
+                    "run() refused: an incremental append started "
+                    "concurrently (_INC_PENDING present)") from None
+        try:
+            return self._run_locked(images, videos, audio)
+        finally:
+            if _held and os.path.exists(self._pending()):
+                os.remove(self._pending())
+
+    def _run_locked(self, images: DataFrame, videos: DataFrame | None,
+                    audio: DataFrame | None) -> DataFrame:
         # input identity for resume safety: row count + order-independent
         # xor of row-content hashes. Content columns (caption, phash, byte
         # LENGTH) are folded in so a rerun against same-ids-different-rows
@@ -995,25 +1024,32 @@ class DedupPipeline:
             n_batch_rows = bsigs.count()
             metric("inc_signatures", n_batch_rows, t0)
             old_sigs = self._read_stage("signatures")
-            new_edge_frames: list[DataFrame] = []
 
-            # ---- exact: batch×batch + batch×index (broadcast digest probe)
-            t0 = time.time()
-            b_ex = bsigs.select("image_id", "sha256")
-            matched_old = old_sigs.select("image_id", "sha256").join(
-                F.broadcast(b_ex.select("sha256").distinct()), "sha256",
-                "leftsemi")
-            old_ex = matched_old.groupBy("sha256").agg(
-                F.min("image_id").alias("exemplar"))
-            cross = b_ex.join(F.broadcast(old_ex), "sha256").select(
-                F.col("image_id").alias("a"), F.col("exemplar").alias("b"))
-            exact_inc = exact.dup_edges(b_ex).unionByName(cross) \
-                .localCheckpoint()
-            n_ex = exact_inc.count()
-            metric("inc_exact_edges", n_ex, t0)
-            new_edge_frames.append(exact_inc)
+            # ---- the probe branches (exact / captions / media / phash)
+            # are independent DAG branches, each ending in an eager
+            # checkpoint — run them from a small thread pool so one
+            # branch's shuffle barrier overlaps another's compute (the
+            # documented multi-job submission pattern, same as
+            # plans/dedup_job.py; measured: the serial formulation left
+            # most of a 22 s 4k-row append latency-bound on barriers)
+            def exact_branch():
+                t0 = time.time()
+                b_ex = bsigs.select("image_id", "sha256")
+                matched_old = old_sigs.select("image_id", "sha256").join(
+                    F.broadcast(b_ex.select("sha256").distinct()), "sha256",
+                    "leftsemi")
+                old_ex = matched_old.groupBy("sha256").agg(
+                    F.min("image_id").alias("exemplar"))
+                cross = b_ex.join(F.broadcast(old_ex), "sha256").select(
+                    F.col("image_id").alias("a"),
+                    F.col("exemplar").alias("b"))
+                exact_inc = exact.dup_edges(b_ex).unionByName(cross) \
+                    .localCheckpoint()
+                n_ex = exact_inc.count()
+                metric("inc_exact_edges", n_ex, t0)
+                return exact_inc, n_ex
 
-            if self.cfg.use_captions:
+            def lsh_branch():
                 t0 = time.time()
                 lsh_sigs = self._read_stage("lsh_sigs")
                 caps_new = bsigs.select("image_id", "caption")
@@ -1033,17 +1069,17 @@ class DedupPipeline:
                                                     append=True)
                 n_lsh = lsh_inc.count()
                 self.metrics.append({"stage": "inc_lsh_dropped_buckets",
-                                     "rows": dropped.count(), "seconds": 0.0})
+                                     "rows": dropped.count(),
+                                     "seconds": 0.0})
                 metric("inc_lsh_edges", n_lsh, t0)
-                new_edge_frames.append(lsh_inc)
+                return lsh_inc, lsh_sig_rows, lsh_bucket_rows, n_lsh
 
-            # media branches: decode ONLY the batch, probe the persisted
-            # family stages exactly like captions (kb-pruned bucket scan,
-            # participant-only verify), stage the append rows
-            media_appends: list[tuple] = []
-
-            def probe_media(prefix: str, batch_tokens: DataFrame) -> None:
+            def media_branch(prefix: str, batch_tokens: DataFrame):
                 t0m = time.time()
+                # decode/checkpoint INSIDE the branch thread so the token
+                # decode overlaps the other branches instead of serializing
+                # at submit time
+                batch_tokens = batch_tokens.localCheckpoint()
                 fam_sigs = self._read_stage(f"{prefix}lsh_sigs")
                 m_inc, _mv, m_drop, m_sigs_new = \
                     ml.incremental_near_dup_edges(
@@ -1061,23 +1097,9 @@ class DedupPipeline:
                     {"stage": f"inc_{prefix}lsh_dropped_buckets",
                      "rows": m_drop.count(), "seconds": 0.0})
                 metric(f"inc_{prefix}lsh_edges", n_m, t0m)
-                new_edge_frames.append(m_inc)
-                media_appends.append(
-                    (prefix, batch_tokens, sig_rows, bucket_rows, m_inc, n_m))
+                return prefix, batch_tokens, sig_rows, bucket_rows, m_inc, n_m
 
-            if self.cfg.use_video and new_videos is not None:
-                from dupers_spark.operators import video as vo
-
-                probe_media("video_", vo.video_token_table(
-                    new_videos, self.cfg.video_every_n).localCheckpoint())
-            if self.cfg.use_audio and new_audio is not None:
-                from dupers_spark.operators import audio as ao
-
-                probe_media("audio_", ao.audio_token_table(
-                    new_audio, self.cfg.audio_win,
-                    self.cfg.audio_bands).localCheckpoint())
-
-            if self.cfg.use_phash:
+            def phash_branch():
                 t0 = time.time()
                 reps_stage = self._read_stage("phash_reps")
                 pimg_new = bsigs.select("image_id", "phash").filter(
@@ -1097,6 +1119,45 @@ class DedupPipeline:
                                      "rows": dropped_p.count(),
                                      "seconds": 0.0})
                 metric("inc_phash_edges", n_ph, t0)
+                return ph_inc, ph_rep_rows, ph_block_rows, n_ph
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            futs: dict = {}
+            with ThreadPoolExecutor(5) as pool:
+                futs["exact"] = pool.submit(exact_branch)
+                if self.cfg.use_captions:
+                    futs["lsh"] = pool.submit(lsh_branch)
+                if self.cfg.use_video and new_videos is not None:
+                    from dupers_spark.operators import video as vo
+
+                    futs["video"] = pool.submit(
+                        media_branch, "video_", vo.video_token_table(
+                            new_videos, self.cfg.video_every_n))
+                if self.cfg.use_audio and new_audio is not None:
+                    from dupers_spark.operators import audio as ao
+
+                    futs["audio"] = pool.submit(
+                        media_branch, "audio_", ao.audio_token_table(
+                            new_audio, self.cfg.audio_win,
+                            self.cfg.audio_bands))
+                if self.cfg.use_phash:
+                    futs["phash"] = pool.submit(phash_branch)
+                results = {k: f.result() for k, f in futs.items()}
+
+            new_edge_frames: list[DataFrame] = []
+            exact_inc, n_ex = results["exact"]
+            new_edge_frames.append(exact_inc)
+            if self.cfg.use_captions:
+                lsh_inc, lsh_sig_rows, lsh_bucket_rows, n_lsh = \
+                    results["lsh"]
+                new_edge_frames.append(lsh_inc)
+            media_appends = [results[k] for k in ("video", "audio")
+                             if k in results]
+            for rec in media_appends:
+                new_edge_frames.append(rec[4])
+            if self.cfg.use_phash:
+                ph_inc, ph_rep_rows, ph_block_rows, n_ph = results["phash"]
                 new_edge_frames.append(ph_inc)
 
             # recluster via the CONTRACTED graph (components.py): old
@@ -1154,38 +1215,49 @@ class DedupPipeline:
 
         # ------------- append window: pre-materialized frames only; a
         # crash from here on leaves the sentinel in place (markers stale,
-        # rebuild required)
+        # rebuild required). Every append derives solely from checkpoints
+        # and targets its OWN stage directory, so the ~9 small write jobs
+        # are independent — submitted from a thread pool they overlap
+        # (measured serial: 3.8 s of a 22 s 4k-row append was this window's
+        # back-to-back write barriers). Crash semantics are unchanged: any
+        # failure leaves the sentinel in place.
         t0 = time.time()
-        self.store.append("exact_edges", exact_inc)
+        writes: list[tuple] = [("exact_edges", exact_inc, None)]
+        if self.cfg.use_captions:
+            writes += [("lsh_sigs", lsh_sig_rows, None),
+                       ("lsh_buckets", lsh_bucket_rows, ["kb"]),
+                       ("lsh_edges", lsh_inc, None)]
+        if self.cfg.use_phash:
+            writes += [("phash_reps", ph_rep_rows, None),
+                       ("phash_blocks", ph_block_rows, ["kb"]),
+                       ("phash_edges", ph_inc, None)]
+        for prefix, tok_rows, sig_rows, bucket_rows, m_inc, n_m \
+                in media_appends:
+            writes += [(f"{prefix}tokens", tok_rows, None),
+                       (f"{prefix}lsh_sigs", sig_rows, None),
+                       (f"{prefix}lsh_buckets", bucket_rows, ["kb"]),
+                       (f"{prefix}lsh_edges", m_inc, None)]
+        writes.append(("signatures", bsigs, None))
+        with ThreadPoolExecutor(4) as pool:
+            wfuts = [pool.submit(self.store.append, name, df,
+                                 partition_by=pb)
+                     for name, df, pb in writes]
+            for f in wfuts:
+                f.result()
         lineage_append("exact_edges", n_ex)
         if self.cfg.use_captions:
-            self.store.append("lsh_sigs", lsh_sig_rows)
-            self.store.append("lsh_buckets", lsh_bucket_rows,
-                              partition_by=["kb"])
-            self.store.append("lsh_edges", lsh_inc)
             for st in ("lsh_sigs", "lsh_buckets"):
                 lineage_append(st)
             lineage_append("lsh_edges", n_lsh)
         if self.cfg.use_phash:
-            self.store.append("phash_reps", ph_rep_rows)
-            self.store.append("phash_blocks", ph_block_rows,
-                              partition_by=["kb"])
-            self.store.append("phash_edges", ph_inc)
             for st in ("phash_reps", "phash_blocks"):
                 lineage_append(st)
             lineage_append("phash_edges", n_ph)
-        for prefix, tok_rows, sig_rows, bucket_rows, m_inc, n_m \
-                in media_appends:
-            self.store.append(f"{prefix}tokens", tok_rows)
-            self.store.append(f"{prefix}lsh_sigs", sig_rows)
-            self.store.append(f"{prefix}lsh_buckets", bucket_rows,
-                              partition_by=["kb"])
-            self.store.append(f"{prefix}lsh_edges", m_inc)
+        for prefix, _t, _s, _b, _m, n_m in media_appends:
             for st in (f"{prefix}tokens", f"{prefix}lsh_sigs",
                        f"{prefix}lsh_buckets"):
                 lineage_append(st)
             lineage_append(f"{prefix}lsh_edges", n_m)
-        self.store.append("signatures", bsigs)
         lineage_append("signatures")
         metric("inc_append_window", -1, t0)
 

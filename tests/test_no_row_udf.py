@@ -33,10 +33,14 @@ def test_no_collect_in_operators():
     pruned probe set, and a selective term keeps it small by design);
     prune_index_by_kb's touched-partition collect (minhash_lsh.py) is
     ≤ KB_PARTITIONS=64 ints by construction (distinct of key & 63), the
-    literal isin list that makes the bucket-stage scan partition-prune."""
+    literal isin list that makes the bucket-stage scan partition-prune;
+    and (round 7) _driver_components' edge collect (components.py) —
+    gated on an explicit edge-count threshold over the CONTRACTED batch
+    graph, which is O(batch) by construction; over-threshold batches take
+    the distributed star loop, so no corpus-sized frame can reach it."""
     # exact expected counts, not whole-file exemptions: a NEW collect added
     # to these files must fail this gate until adjudicated here
-    allowed_counts = {"components.py": 1, "ann.py": 4, "search.py": 3,
+    allowed_counts = {"components.py": 2, "ann.py": 4, "search.py": 3,
                       "minhash_lsh.py": 1}
     offenders = []
     for py in (PKG / "operators").glob("*.py"):
